@@ -1,0 +1,359 @@
+"""PoiEngine — the engine's public query API, mirroring the reference's
+request payloads (reference openpoiservice/server/api/views.py:78-153).
+
+A request dict {"request": "pois"|"stats"|"list", "geometry": {...},
+"filters": {...}, "limit": n, "sortby": ...} compiles to a DataFrame plan:
+
+    scan(prepared, pruned columns)
+      -> cell-cover prefilter        (partition + row-group pruning; the
+                                      GiST-prefilter analogue, misc.sql:50)
+      -> exact refine pandas UDF     (the `_st_dwithin` recheck analogue)
+      -> category / custom filters   (reference query_builder.py:46-53,142-158)
+      -> distance column (quirk Q5)  -> orderBy -> limit(n-1, quirk Q1)
+      -> collect -> GeoJSON assembly (reference query_builder.py:211-267)
+
+Cover-join strategy (driver-side, the cover size is known before launch —
+SURVEY.md §4 'join strategy choice'):
+  <= ISIN_COVER_THRESHOLD cells    : literal IN predicate (full pushdown)
+  <= SHUFFLE_COVER_THRESHOLD cells : broadcast-hash join on `cell`
+  larger                           : repartition-by-cell shuffle join
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import cells, config, geo, prepare, taxonomy
+from .captions import truncate6
+from .functions import cell_parent_expr, make_distance_udf, make_refine_udf
+
+
+class InvalidUsage(Exception):
+    """Reference error envelope (reference api_exceptions; codes from
+    views.py: 4000 schema, 4002 missing geometry, 4005 linestring too long,
+    4007 invalid geojson, 4008 area too large)."""
+
+    def __init__(self, message: str, error_code: int, status_code: int = 400):
+        super().__init__(message)
+        self.error_code = error_code
+        self.status_code = status_code
+
+
+@dataclass
+class CompiledQuery:
+    """Driver-side compilation result for one geometry (one polygon of a
+    MultiPolygon compiles to one of these — quirk Q7)."""
+    refine_spec: geo.GeomSpec          # geometry of the DWithin predicate
+    refine_buffer: float
+    refine_bbox: geo.GeomSpec | None   # extra bbox conjunct (P2)
+    distance_spec: geo.GeomSpec        # the 'last geometry' (quirk Q5)
+    cover: np.ndarray = field(default=None)  # cell ids
+
+
+_SUPPORTED = {"Point", "LineString", "Polygon", "MultiPolygon"}
+
+
+def _parse_geojson(gj: dict) -> tuple[str, list]:
+    if not isinstance(gj, dict) or "type" not in gj:
+        raise InvalidUsage("geojson type missing", 4000)
+    if "coordinates" not in gj:
+        raise InvalidUsage("geojson coordinates missing", 4000)
+    t = gj["type"]
+    if t not in _SUPPORTED:
+        raise InvalidUsage(f"GeoJSON type {t} not supported", 4007)
+    coords = gj["coordinates"]
+    if not coords:
+        raise InvalidUsage("geojson is empty", 4007)
+    return t, coords
+
+
+def _admit(kind: str, spec: geo.GeomSpec, buffer_m: float) -> None:
+    """Admission control (reference views.py:243-294, caps from
+    ops_settings.yml:3-13).  The reference measures in EPSG:3857; the local
+    plane is equivalent at admitted scales."""
+    cap = config.MAXIMUM_SEARCH_RADIUS[kind]
+    if buffer_m > cap:
+        raise InvalidUsage(f"maximum buffer {cap} exceeded", 4008)
+    if kind == "linestring" and spec.planar_length_m() > config.MAXIMUM_LINESTRING_LENGTH_M:
+        raise InvalidUsage("Your linestring geometry is too long", 4005)
+    if kind == "polygon" and spec.planar_area_m2() > config.MAXIMUM_AREA_M2:
+        raise InvalidUsage("Your polygon geometry is too large", 4008)
+
+
+def compile_geometry(geometry: dict) -> list[CompiledQuery]:
+    """Reference generate_geom_filters (query_builder.py:115-140) +
+    parse_geometries (views.py:208-296), as driver-side plan compilation.
+    Returns one CompiledQuery per polygon (MultiPolygon fans out, Q7)."""
+    if not isinstance(geometry, dict) or ("bbox" not in geometry and "geojson" not in geometry):
+        raise InvalidUsage("bbox or geojson required", 4002)
+    buffer_m = float(geometry.get("buffer", 0))
+
+    bbox_spec = None
+    if "bbox" in geometry:
+        bb = geometry["bbox"]
+        try:
+            (x1, y1), (x2, y2) = bb
+        except Exception as e:  # noqa: BLE001 — mirror reference 4007 on bad bbox
+            raise InvalidUsage(f"invalid bbox: {e}", 4007) from None
+        bbox_spec = geo.bbox_spec(min(x1, x2), min(y1, y2), max(x1, x2), max(y1, y2))
+        if bbox_spec.planar_area_m2() > config.MAXIMUM_AREA_M2:
+            raise InvalidUsage("Your polygon geometry is too large", 4008)
+
+    if "geojson" not in geometry:
+        # P1: POI within the (optionally buffered) bbox envelope
+        # (query_builder.py:119-122); distance vs the bbox WKT (Q5)
+        _admit("polygon", bbox_spec, buffer_m)
+        return [CompiledQuery(bbox_spec, buffer_m, None, bbox_spec)]
+
+    gtype, coords = _parse_geojson(geometry["geojson"])
+    polys = coords if gtype == "MultiPolygon" else [coords]
+    out = []
+    for poly in polys:
+        if gtype == "Point":
+            spec = geo.GeomSpec("point", [coords])
+            _admit("point", spec, buffer_m)
+        elif gtype == "LineString":
+            spec = geo.GeomSpec("linestring", coords)
+            _admit("linestring", spec, buffer_m)
+        else:  # Polygon / each polygon of a MultiPolygon: outer ring
+            spec = geo.GeomSpec("polygon", poly[0])
+            _admit("polygon", spec, buffer_m)
+        # P2 (geom ∩ bbox, query_builder.py:124-130) vs P3 (geom only, :132-138)
+        out.append(CompiledQuery(spec, buffer_m, bbox_spec, spec))
+    return out
+
+
+class PoiEngine:
+    def __init__(self, spark: SparkSession, prepared_dir: str):
+        self.spark = spark
+        self.prepared_dir = prepared_dir
+        self._df = prepare.read_prepared(spark, prepared_dir)
+
+    # ------------------------------------------------------------ planning
+
+    def _prefilter(self, df: DataFrame, cq: CompiledQuery) -> DataFrame:
+        """Cell-cover prefilter with size-adaptive join strategy (J7)."""
+        region = cq.refine_spec
+        res = cells.pick_cover_res(region, cq.refine_buffer)
+        cover = cells.cover_geometry(region, cq.refine_buffer, res)
+        if cq.refine_bbox is not None:
+            bcover = cells.cover_geometry(cq.refine_bbox, 0.0, res)
+            cover = np.intersect1d(cover, bcover)
+        cq.cover = cover
+        if cover.size == 0:
+            return df.filter(F.lit(False))
+        pcover = np.unique(cells.cell_parent(cover, cells.PARTITION_RES)).tolist()
+        cell_col = (
+            F.col("cell") if res == cells.DEFAULT_RES
+            else cell_parent_expr(F.col("cell"), cells.DEFAULT_RES, res)
+        )
+        df = df.filter(F.col("pcell").isin(pcover))
+        if cover.size <= config.ISIN_COVER_THRESHOLD:
+            return df.filter(cell_col.isin(cover.tolist()))
+        cover_df = self.spark.createDataFrame([(int(c),) for c in cover], "qcell long")
+        joined = df.withColumn("qcell", cell_col)
+        if cover.size <= config.SHUFFLE_COVER_THRESHOLD:
+            return joined.join(F.broadcast(cover_df), "qcell").drop("qcell")
+        return joined.join(cover_df.repartition("qcell"), "qcell").drop("qcell")
+
+    def _apply_filters(self, df: DataFrame, filters: dict | None) -> DataFrame:
+        """Category + custom tag filters, including the array/tag-restriction
+        quirk Q2 and the conjunctive custom-filter quirk Q3."""
+        if not filters:
+            return df
+        category_ids = filters.get("category_ids")
+        if filters.get("category_group_ids"):
+            try:
+                category_ids = taxonomy.expand_group_ids(
+                    filters["category_group_ids"], category_ids or []
+                )
+            except ValueError as e:
+                raise InvalidUsage(str(e), 4000) from None
+        if category_ids is not None:
+            if len(filters.get("category_ids", [])) > config.MAXIMUM_CATEGORIES or \
+               len(filters.get("category_group_ids", [])) > config.MAXIMUM_CATEGORIES:
+                raise InvalidUsage("too many categories", 4000)
+            lit_ids = F.array(*[F.lit(int(c)) for c in category_ids])
+            # P4 membership + Q2: the output array keeps only matching ids
+            df = df.withColumn("category_ids", F.array_intersect("category_ids", lit_ids))
+            df = df.filter(F.size("category_ids") > 0)
+
+        custom = {k: filters[k] for k in taxonomy.TAG_WHITELIST if k in filters}
+        if custom:
+            # reference semantics (query_builder.py:142-158): every custom
+            # filter is ANDed onto the SAME joined tag row -> a single tag
+            # entry must satisfy all of them (two different keys -> no rows,
+            # quirk Q3).  Expressed on the map column via EXISTS over entries.
+            def entry_pred(e):
+                conj = F.lit(True)
+                for k, vals in custom.items():
+                    vals = [str(v) for v in vals]
+                    conj = conj & (e.key == F.lit(k.lower())) & e.value.isin(vals)
+                return conj
+
+            entries = F.map_entries(F.col("tags"))
+            df = df.filter(F.exists(entries, entry_pred))
+            # Q2: surviving tag entries only
+            df = df.withColumn(
+                "tags", F.map_from_entries(F.filter(F.map_entries(F.col("tags")), entry_pred))
+            )
+        return df
+
+    def pois_df(self, payload: dict, cq: CompiledQuery | None = None) -> DataFrame:
+        """The POI query as a DataFrame plan (reference request_pois,
+        query_builder.py:31-113).  `bytes` is projected out before any
+        shuffle — the payload column never moves unless a downstream tile
+        stage asks for it."""
+        cqs = [cq] if cq is not None else compile_geometry(payload["geometry"])
+        cq = cqs[0]
+        df = self._df.select(
+            "image_id", "osm_type", "osm_id", "lon", "lat", "cell", "pcell",
+            "tags", "category_ids", "caption",
+        )
+        df = self._prefilter(df, cq)
+        refine = make_refine_udf(cq.refine_spec, cq.refine_buffer, cq.refine_bbox)
+        df = df.filter(refine(F.col("lon"), F.col("lat")))
+        df = self._apply_filters(df, payload.get("filters"))
+        dist = make_distance_udf(cq.distance_spec)
+        df = df.withColumn("distance", dist(F.col("lon"), F.col("lat")))
+
+        sortby = payload.get("sortby")
+        if sortby == "distance":
+            df = df.orderBy("distance", "osm_id")
+        elif sortby == "category":
+            df = df.orderBy("category_ids", "osm_id")
+        else:
+            # the reference leaves order planner-defined; we pin (distance,
+            # osm_id) so limited results are deterministic (superset of the
+            # reference's guarantee, same row set)
+            df = df.orderBy("distance", "osm_id")
+        limit = int(payload.get("limit", config.RESPONSE_LIMIT))
+        if limit > config.RESPONSE_LIMIT:
+            raise InvalidUsage("limit too large", 4000)
+        # quirk Q1: the reference's assembly loop breaks after appending the
+        # (limit-1)-th feature (query_builder.py:259-261)
+        return df.limit(max(limit - 1, 0))
+
+    # ------------------------------------------------------------ requests
+
+    def request(self, payload: dict):
+        """Dispatch exactly like the reference's /pois route (views.py:78-153)."""
+        req = payload.get("request")
+        if req not in ("pois", "stats", "list"):
+            raise InvalidUsage("request must be one of pois/stats/list", 4000)
+        if req == "list":
+            return taxonomy.taxonomy_listing()
+        if "geometry" not in payload:
+            raise InvalidUsage("geometry required", 4002)
+        if req == "stats":
+            return self.stats(payload)
+        cqs = compile_geometry(payload["geometry"])
+        if len(cqs) == 1:
+            fc = self._feature_collection(payload, cqs[0])
+            fc["information"] = self._query_info(payload)
+            return fc
+        out = []
+        for cq in cqs:  # MultiPolygon fan-out, each independently limited (Q7)
+            fc = self._feature_collection(payload, cq)
+            fc["information"] = self._query_info(payload)
+            out.append(fc)
+        return out
+
+    def _query_info(self, payload: dict) -> dict:
+        # reference api/query_info.py:8-23
+        return {
+            "attribution": "openpoiservice-spark | synthetic fixture data",
+            "version": "0.1",
+            "timestamp": int(time.time()),
+            "query": payload,
+        }
+
+    def _feature_collection(self, payload: dict, cq: CompiledQuery) -> dict:
+        rows = self.pois_df(payload, cq).collect()
+        features, lonlats = [], []
+        _, _, cat_info, _ = taxonomy.indices()
+        for r in rows:
+            # quirk Q6: 6-decimal string-format truncation
+            x, y = truncate6(r.lon), truncate6(r.lat)
+            lonlats.append((x, y))
+            props = {
+                "osm_id": int(r.osm_id),
+                "osm_type": int(r.osm_type),
+                "distance": float(r.distance),
+            }
+            cat_obj = {}
+            for cid in sorted(set(r.category_ids)):  # Q4: set-dedup
+                info = cat_info.get(cid, {})
+                cat_obj[cid] = {
+                    "category_name": info.get("poi_name"),
+                    "category_group": info.get("poi_group"),
+                }
+            props["category_ids"] = cat_obj
+            if r.tags:  # quirk Q9: osm_tags omitted when no whitelisted tags
+                props["osm_tags"] = dict(r.tags)  # Q4: dict last-wins
+            features.append(
+                {
+                    "type": "Feature",
+                    "geometry": {"type": "Point", "coordinates": [x, y]},
+                    "properties": props,
+                }
+            )
+        if lonlats:
+            arr = np.array(lonlats)
+            bbox = [float(arr[:, 0].min()), float(arr[:, 1].min()),
+                    float(arr[:, 0].max()), float(arr[:, 1].max())]
+        else:
+            bbox = []
+        return {"type": "FeatureCollection", "features": features, "bbox": bbox}
+
+    def stats_df(self, payload: dict) -> DataFrame:
+        """Category histogram plan (reference query_builder.py:55-67):
+        spatial filter -> explode categories -> groupBy(category).count().
+        Explode (not explode_outer) reproduces count(category)'s NULL-skip;
+        a POI with two matching categories counts twice (quirk Q8)."""
+        cq = compile_geometry(payload["geometry"])[0]
+        df = self._df.select("osm_type", "osm_id", "lon", "lat", "cell", "pcell", "category_ids")
+        df = self._prefilter(df, cq)
+        refine = make_refine_udf(cq.refine_spec, cq.refine_buffer, cq.refine_bbox)
+        df = df.filter(refine(F.col("lon"), F.col("lat")))
+        filters = payload.get("filters") or {}
+        category_ids = filters.get("category_ids")
+        if filters.get("category_group_ids"):
+            category_ids = taxonomy.expand_group_ids(
+                filters["category_group_ids"], category_ids or []
+            )
+        ex = df.select(F.explode("category_ids").alias("category"))
+        if category_ids is not None:
+            ex = ex.filter(F.col("category").isin([int(c) for c in category_ids]))
+        return ex.groupBy("category").agg(F.count("category").alias("count"))
+
+    def stats(self, payload: dict) -> dict:
+        """Nested stats JSON (reference generate_category_stats,
+        query_builder.py:160-208): tiny result (<= 343 groups), rolled up on
+        the driver exactly like the reference."""
+        rows = self.stats_df(payload).collect()
+        _, _, cat_info, cat_to_group = taxonomy.indices()
+        group_names = {gid: name for name, (gid, _) in taxonomy.CATEGORY_TREE.items()}
+        places: dict = {"total_count": 0}
+        for r in rows:
+            gid = cat_to_group[r.category]
+            gname = group_names[gid]
+            cat_obj = {
+                cat_info[r.category]["poi_name"]: {
+                    "count": int(r["count"]), "category_id": int(r.category),
+                }
+            }
+            if gname not in places:
+                places[gname] = {
+                    "group_id": gid, "categories": cat_obj, "total_count": int(r["count"]),
+                }
+            else:
+                places[gname]["categories"].update(cat_obj)
+                places[gname]["total_count"] += int(r["count"])
+            places["total_count"] += int(r["count"])
+        return {"places": places}

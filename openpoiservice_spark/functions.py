@@ -1,0 +1,152 @@
+"""Vectorized pandas-UDF surface (SURVEY.md §2.10) + native-column helpers.
+
+Every per-row computation in the engine goes through Arrow-batched pandas
+UDFs (BASELINE.json input_hint: "no per-row Python") or stays in native
+Spark column expressions (JVM, whole-stage codegen).  Native expressions are
+preferred wherever the math is closed-form integer/double arithmetic (cell
+ids, tile ids) because they keep the plan inside WholeStageCodegen *and*
+keep the DuckDB oracle bit-identical.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import captions as _captions
+from . import cells as _cells
+from . import geo as _geo
+from . import taxonomy as _taxonomy
+
+# ----------------------------------------------------------- native columns
+
+def cell_expr(lon: Column, lat: Column, res: int) -> Column:
+    """Quadtree cell id as a native column expression (cells.py encoding).
+    Stays in whole-stage codegen; identical arithmetic exists in the DuckDB
+    oracle SQL."""
+    n = 1 << res
+    cx = F.least(F.lit(n - 1), F.greatest(F.lit(0), F.floor((lon + 180.0) / 360.0 * n)))
+    cy = F.least(F.lit(n - 1), F.greatest(F.lit(0), F.floor((lat + 90.0) / 180.0 * n)))
+    return (
+        F.lit(res).cast("long") * F.lit(1 << _cells._RES_SHIFT).cast("long")
+        + cx.cast("long") * F.lit(1 << _cells._X_SHIFT).cast("long")
+        + cy.cast("long")
+    )
+
+
+def cell_parent_expr(cell: Column, res_from: int, res_to: int) -> Column:
+    """Coarsen a cell id column — pure int64 bit math (no doubles: cell ids
+    exceed the 53-bit double mantissa, so any double round-trip would corrupt
+    them)."""
+    shift = res_from - res_to
+    mask = F.lit(_cells._XY_MASK).cast("long")
+    cx = F.shiftright(cell, _cells._X_SHIFT).bitwiseAND(mask)
+    cy = cell.bitwiseAND(mask)
+    return (
+        F.lit(res_to).cast("long") * F.lit(1 << _cells._RES_SHIFT).cast("long")
+        + F.shiftright(cx, shift) * F.lit(1 << _cells._X_SHIFT).cast("long")
+        + F.shiftright(cy, shift)
+    )
+
+
+def lonlat_from_phash() -> tuple[Column, Column]:
+    """Decode packed coordinates with native bit math (FIXTURES.md §2):
+    phash = (lat_q << 32) | lon_q, 1e-7 degree quantization."""
+    p = F.col("phash")
+    lon = (p.bitwiseAND(F.lit(0xFFFFFFFF))).cast("double") / 1e7 - 180.0
+    lat = F.shiftrightunsigned(p, 32).bitwiseAND(F.lit(0xFFFFFFFF)).cast("double") / 1e7 - 90.0
+    return lon.alias("lon"), lat.alias("lat")
+
+
+def tile_expr(lon: Column, lat: Column, z: int) -> tuple[Column, Column]:
+    """Slippy tile (tx, ty) as native columns.  asinh is spelled
+    ln(t + sqrt(t^2+1)) so the DuckDB oracle matches bit-for-bit
+    (imaging.mercator_norm uses the same form)."""
+    n = 1 << z
+    xn = (lon + 180.0) / 360.0
+    t = F.tan(F.radians(lat))
+    yn = (F.lit(1.0) - F.log(t + F.sqrt(t * t + 1.0)) / F.lit(float(_pi()))) / 2.0
+    tx = F.least(F.lit(n - 1), F.greatest(F.lit(0), F.floor(xn * n))).cast("long")
+    ty = F.least(F.lit(n - 1), F.greatest(F.lit(0), F.floor(yn * n))).cast("long")
+    return tx, ty
+
+
+def _pi() -> float:
+    import math
+
+    return math.pi
+
+
+# ----------------------------------------------------------- pandas UDFs
+
+_ATTR_SCHEMA = T.StructType(
+    [
+        T.StructField("osm_type", T.IntegerType()),
+        T.StructField("osm_id", T.LongType()),
+        T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("category_ids", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+@F.pandas_udf(_ATTR_SCHEMA)
+def parse_caption_udf(caption: pd.Series) -> pd.DataFrame:
+    """caption -> (osm_type, osm_id, whitelisted tags, category ids).
+
+    One Arrow batch per call; the taxonomy indices are module-level dicts,
+    loaded once per executor (same lifecycle as the reference's
+    startup-built CategoryTools indices, reference categories.py:38-63).
+    Categories derive from the FULL tag set; only whitelisted tag keys are
+    retained for output (reference parse_osm.py:347-351).
+    """
+    whitelist = set(_taxonomy.TAG_WHITELIST)
+    _, category_index, _, _ = _taxonomy.indices()
+
+    types, ids, tag_maps, cat_lists = [], [], [], []
+    for cap in caption:
+        osm_type, osm_id, tags = _captions.decode_caption(cap)
+        cats = sorted(
+            {
+                category_index[k][v]
+                for k, v in tags.items()
+                if k in category_index and v in category_index[k]
+            }
+        )
+        types.append(osm_type)
+        ids.append(osm_id)
+        tag_maps.append({k: v for k, v in tags.items() if k in whitelist})
+        cat_lists.append(cats)
+    return pd.DataFrame(
+        {"osm_type": types, "osm_id": ids, "tags": tag_maps, "category_ids": cat_lists}
+    )
+
+
+def make_refine_udf(spec: "_geo.GeomSpec", buffer_m: float,
+                    bbox: "_geo.GeomSpec | None" = None):
+    """Exact spatial refine: ST_DWithin(buffered geom [∩ bbox], point, 0)
+    (reference query_builder.py:119-138).  The compiled GeomSpec is captured
+    in the closure and shipped once per task (plain-numpy object, cheap
+    pickle) — the Spark analogue of PostGIS's recheck after the GiST
+    prefilter (reference misc.sql:50-52)."""
+
+    @F.pandas_udf(T.BooleanType())
+    def refine(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        ok = spec.within_m(lon.to_numpy(), lat.to_numpy(), buffer_m)
+        if bbox is not None:
+            ok = ok & bbox.within_m(lon.to_numpy(), lat.to_numpy(), 0.0)
+        return pd.Series(ok)
+
+    return refine
+
+
+def make_distance_udf(spec: "_geo.GeomSpec"):
+    """Geodesic meters to the query geometry (reference ST_Distance at
+    query_builder.py:98; which geometry per quirk Q5 is the caller's job)."""
+
+    @F.pandas_udf(T.DoubleType())
+    def distance(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(spec.distance_m(lon.to_numpy(), lat.to_numpy()))
+
+    return distance

@@ -1,0 +1,243 @@
+"""Import pipeline: raw `poi_images` table -> prepared, cell-partitioned table.
+
+The Spark re-expression of the reference's multi-pass OSM import
+(reference manage.py:59-99 -> parser.py:165-202 -> parse_osm.py): the five
+imposm passes + hand-rolled hash join + buffered bulk insert collapse into a
+single DataFrame job:
+
+    scan(raw) -> decode phash (native bit math) -> parse caption + derive
+    categories (one pandas UDF) -> drop category-less rows
+    (reference parse_osm.py:347) -> derive cell/pcell keys -> salted
+    repartition -> write partitioned by pcell, sorted by cell -> lineage rows.
+
+Prepared layout on disk (plain Parquet; swap the writer for Iceberg
+`writeTo(...).append()` on a cluster with the runtime jar — the layout keeps
+the same logical contract: partition key `pcell`, sort key `cell`):
+
+    <prepared>/data/pcell=<id>/*.parquet
+    <prepared>/lineage/*.parquet     (append-only commit log)
+
+Lineage rows (north_rule requirement: per-partition lineage + metrics) carry
+(run_id, op, fingerprint, pcell, n_rows, approx_bytes, wall_ms, status, ts).
+A re-run with `resume=True` anti-joins input pcells against committed
+lineage rows and processes only the gap — the partition-granular lift of the
+reference's file-mtime checkpoint log (reference manage.py:75-94,
+parser.py:178-199).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import cells, config
+from .functions import cell_expr, cell_parent_expr, lonlat_from_phash, parse_caption_udf
+
+RAW_COLUMNS = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+ROW_RES = cells.DEFAULT_RES
+PART_RES = cells.PARTITION_RES
+#: shuffle salt buckets for hot cells (explicit skew handling; AQE assists at
+#: runtime but the write-side spread must not depend on it)
+WRITE_SALT = 8
+
+
+def derive(raw: DataFrame) -> DataFrame:
+    """Raw 7-column table -> derived columns (lon, lat, attrs, cell keys).
+
+    Column pruning note: `bytes` is selected through untouched and never
+    feeds any expression here, so Parquet scans that don't need it keep it
+    unread (SURVEY.md §7: binary payload discipline)."""
+    lon, lat = lonlat_from_phash()
+    df = raw.withColumns({"lon": lon, "lat": lat})
+    df = df.withColumn("attrs", parse_caption_udf(F.col("caption")))
+    df = df.select(
+        "image_id", "bytes", "w", "h", "fmt", "caption", "phash", "lon", "lat",
+        F.col("attrs.osm_type").alias("osm_type"),
+        F.col("attrs.osm_id").alias("osm_id"),
+        F.col("attrs.tags").alias("tags"),
+        F.col("attrs.category_ids").alias("category_ids"),
+    )
+    # reference drops POIs that map to no category (parse_osm.py:347)
+    df = df.filter(F.size("category_ids") > 0)
+    cell = cell_expr(F.col("lon"), F.col("lat"), ROW_RES)
+    df = df.withColumn("cell", cell)
+    return df.withColumn("pcell", cell_parent_expr(F.col("cell"), ROW_RES, PART_RES))
+
+
+def _lineage_path(prepared_dir: str) -> str:
+    return f"{prepared_dir}/lineage"
+
+
+def data_path(prepared_dir: str) -> str:
+    return f"{prepared_dir}/data"
+
+
+def read_lineage(spark: SparkSession, prepared_dir: str) -> DataFrame | None:
+    try:
+        return spark.read.parquet(_lineage_path(prepared_dir))
+    except Exception:
+        return None
+
+
+def committed_pcells(spark: SparkSession, prepared_dir: str, fingerprint: str) -> set[int]:
+    lin = read_lineage(spark, prepared_dir)
+    if lin is None:
+        return set()
+    rows = (
+        lin.filter((F.col("status") == "committed") & (F.col("fingerprint") == fingerprint))
+        .select("pcell").distinct().collect()
+    )
+    return {r.pcell for r in rows}
+
+
+def _append_lineage(spark: SparkSession, prepared_dir: str, rows: list[dict]) -> None:
+    if not rows:
+        return
+    schema = "run_id string, op string, fingerprint string, pcell long, n_rows long, approx_bytes long, wall_ms long, status string, ts double"
+    spark.createDataFrame([tuple(r.values()) for r in rows], schema=schema) \
+        .coalesce(1).write.mode("append").parquet(_lineage_path(prepared_dir))
+
+
+def prepare(spark: SparkSession, raw_path: str, prepared_dir: str,
+            resume: bool = True, fingerprint: str | None = None) -> dict:
+    """Run the import job.  Returns {'pcells': n, 'rows': n, 'skipped': n}.
+
+    Idempotence: dynamic partition overwrite means a re-run (or a retry of a
+    failed run) rewrites exactly the pcell directories it produces, never
+    duplicating rows; `resume=True` additionally skips pcells already
+    committed for the same input fingerprint.
+    """
+    t0 = time.time()
+    run_id = uuid.uuid4().hex[:12]
+    fingerprint = fingerprint or raw_path
+    raw = spark.read.parquet(raw_path)
+    df = derive(raw)
+
+    skipped: set[int] = set()
+    if resume:
+        skipped = committed_pcells(spark, prepared_dir, fingerprint)
+        if skipped:
+            df = df.filter(~F.col("pcell").isin(list(skipped)))
+
+    # explicit skew spread: repartition on (pcell, salt) so a hot urban pcell
+    # fans out across WRITE_SALT tasks instead of serializing on one
+    # (SURVEY.md §4 'skew handling'); the writer's partitionBy reassembles
+    # the directory layout regardless of task placement.
+    salt = F.pmod(F.hash("osm_id"), F.lit(WRITE_SALT))
+    n_shuffle = max(int(spark.conf.get("spark.sql.shuffle.partitions")), WRITE_SALT)
+    out = (
+        df.repartition(n_shuffle, F.col("pcell"), salt)
+        .sortWithinPartitions("pcell", "cell")
+        .write.mode("overwrite")
+        .partitionBy("pcell")
+        .parquet(data_path(prepared_dir))
+    )
+
+    # lineage: per-pcell metrics from a pruned re-scan (reads only the
+    # lightweight columns via Parquet column projection)
+    stats = (
+        spark.read.parquet(data_path(prepared_dir))
+        .groupBy("pcell")
+        .agg(F.count("*").alias("n_rows"), F.sum(F.length("caption")).alias("approx_bytes"))
+        .collect()
+    )
+    wall_ms = int((time.time() - t0) * 1000)
+    ts = time.time()
+    rows = [
+        dict(run_id=run_id, op="import", fingerprint=fingerprint, pcell=int(r.pcell),
+             n_rows=int(r.n_rows), approx_bytes=int(r.approx_bytes or 0),
+             wall_ms=wall_ms, status="committed", ts=ts)
+        for r in stats if int(r.pcell) not in skipped
+    ]
+    _append_lineage(spark, prepared_dir, rows)
+    total_rows = sum(r["n_rows"] for r in rows)
+    return {"pcells": len(rows), "rows": total_rows, "skipped": len(skipped), "run_id": run_id}
+
+
+def read_prepared(spark: SparkSession, prepared_dir: str) -> DataFrame:
+    return spark.read.parquet(data_path(prepared_dir))
+
+
+def merge(spark: SparkSession, prepared_dir: str, upserts_raw: DataFrame,
+          delete_keys: list[tuple[int, int]] | None = None) -> dict:
+    """MERGE INTO the prepared table: upsert on PK (osm_type, osm_id) +
+    explicit deletes — the Spark re-expression of the reference's
+    tombstone-based incremental update (reference parser.py:182-215,
+    parse_osm.py:411-419: flag -> per-PK delete -> re-insert -> sweep).
+    Snapshot isolation comes from dynamic partition overwrite: only the
+    pcell directories touched by the patch are rewritten.
+    """
+    t0 = time.time()
+    run_id = uuid.uuid4().hex[:12]
+    delete_keys = delete_keys or []
+    ups = derive(upserts_raw).cache()
+    cur = read_prepared(spark, prepared_dir)
+
+    # affected partitions: pcells receiving upserts + pcells holding deletes
+    up_pcells = {r.pcell for r in ups.select("pcell").distinct().collect()}
+    if delete_keys:
+        del_df = spark.createDataFrame(delete_keys, "osm_type int, osm_id long")
+        del_pcells = {
+            r.pcell
+            for r in cur.join(F.broadcast(del_df), ["osm_type", "osm_id"], "left_semi")
+            .select("pcell").distinct().collect()
+        }
+    else:
+        del_df = None
+        del_pcells = set()
+    affected = sorted(up_pcells | del_pcells)
+    if not affected:
+        return {"pcells": 0, "rows": 0, "run_id": run_id}
+
+    slice_cur = cur.filter(F.col("pcell").isin(affected))
+    # drop rows replaced by upserts (per-PK delete before insert,
+    # reference parse_osm.py:411-419) and rows explicitly deleted (sweep,
+    # reference parser.py:205-215)
+    merged = slice_cur.join(
+        F.broadcast(ups.select("osm_type", "osm_id")), ["osm_type", "osm_id"], "left_anti"
+    )
+    if del_df is not None:
+        merged = merged.join(F.broadcast(del_df), ["osm_type", "osm_id"], "left_anti")
+    merged = merged.unionByName(ups.filter(F.col("pcell").isin(affected)))
+
+    merged = merged.cache()
+    remaining_pcells = {r.pcell for r in merged.select("pcell").distinct().collect()}
+    (
+        merged.repartition(max(len(affected), 1), F.col("pcell"))
+        .sortWithinPartitions("pcell", "cell")
+        .write.mode("overwrite")
+        .partitionBy("pcell")
+        .parquet(data_path(prepared_dir))
+    )
+    merged.unpersist()
+    # dynamic overwrite only rewrites directories that receive rows; a pcell
+    # fully emptied by deletes must be dropped explicitly
+    emptied = set(affected) - remaining_pcells
+    if emptied:
+        jvm = spark.sparkContext._jvm
+        jsc = spark.sparkContext._jsc
+        conf = jsc.hadoopConfiguration()
+        for pc in emptied:
+            p = jvm.org.apache.hadoop.fs.Path(f"{data_path(prepared_dir)}/pcell={pc}")
+            fs = p.getFileSystem(conf)
+            fs.delete(p, True)
+
+    stats = (
+        spark.read.parquet(data_path(prepared_dir))
+        .filter(F.col("pcell").isin(affected))
+        .groupBy("pcell").agg(F.count("*").alias("n_rows"))
+        .collect()
+    )
+    wall_ms = int((time.time() - t0) * 1000)
+    ts = time.time()
+    _append_lineage(spark, prepared_dir, [
+        dict(run_id=run_id, op="merge", fingerprint="merge", pcell=int(r.pcell),
+             n_rows=int(r.n_rows), approx_bytes=0, wall_ms=wall_ms,
+             status="committed", ts=ts)
+        for r in stats
+    ])
+    ups.unpersist()
+    return {"pcells": len(affected), "rows": sum(int(r.n_rows) for r in stats), "run_id": run_id}

@@ -1,0 +1,246 @@
+"""The reference's golden POI query suite, translated (SURVEY.md §5).
+
+Each case mirrors a reference test (tests/test_pois.py / test_stats.py /
+test_category_list.py) using the same query geometries; expected counts are
+the engineered fixture goldens (FIXTURES.md §4), frozen in
+fixtures.GOLDEN_COUNTS and re-proved against the brute-force numpy oracle by
+fixtures.verify_layout().
+"""
+
+import pytest
+
+from openpoiservice_spark import fixtures
+from openpoiservice_spark.api import InvalidUsage
+
+P = list(fixtures.POINT_P)
+BBOX1 = [[8.807054, 53.075024], [8.807533, 53.075363]]
+BBOX2 = [[8.808345, 53.075677], [8.808781, 53.076031]]
+POLY = [fixtures.POLYGON]
+LINE = fixtures.LINESTRING
+
+
+def _pois(engine, geometry, filters=None, **kw):
+    payload = {"request": "pois", "geometry": geometry}
+    if filters:
+        payload["filters"] = filters
+    payload.update(kw)
+    return engine.request(payload)
+
+
+# --- golden feature counts (reference test_pois.py:139-193) -----------------
+
+def test_pois_point_buffer(engine):
+    fc = _pois(engine, {"geojson": {"type": "Point", "coordinates": P}, "buffer": 50})
+    assert len(fc["features"]) == fixtures.GOLDEN_COUNTS["point_buffer50"]
+
+
+def test_pois_point_with_bbox(engine):
+    fc = _pois(engine, {"geojson": {"type": "Point", "coordinates": P},
+                        "bbox": BBOX1, "buffer": 50})
+    assert len(fc["features"]) == fixtures.GOLDEN_COUNTS["point_bbox_buffer50"]
+
+
+def test_pois_polygon(engine):
+    fc = _pois(engine, {"geojson": {"type": "Polygon", "coordinates": POLY}, "buffer": 0})
+    assert len(fc["features"]) == fixtures.GOLDEN_COUNTS["polygon"]
+
+
+def test_pois_polygon_with_bbox(engine):
+    fc = _pois(engine, {"geojson": {"type": "Polygon", "coordinates": POLY},
+                        "bbox": BBOX2, "buffer": 0})
+    assert len(fc["features"]) == fixtures.GOLDEN_COUNTS["polygon_bbox"]
+
+
+def test_pois_linestring_buffer(engine):
+    fc = _pois(engine, {"geojson": {"type": "LineString", "coordinates": LINE}, "buffer": 10})
+    assert len(fc["features"]) == fixtures.GOLDEN_COUNTS["linestring_buffer10"]
+
+
+def test_pois_linestring_with_bbox(engine):
+    fc = _pois(engine, {"geojson": {"type": "LineString", "coordinates": LINE},
+                        "bbox": BBOX1, "buffer": 50})
+    assert len(fc["features"]) == fixtures.GOLDEN_COUNTS["linestring_bbox_buffer50"]
+
+
+def test_pois_bbox_only(engine):
+    fc = _pois(engine, {"bbox": BBOX1})
+    assert len(fc["features"]) == fixtures.GOLDEN_COUNTS["bbox_only"]
+
+
+def test_pois_wide_buffer_all_curated(engine):
+    fc = _pois(engine, {"geojson": {"type": "Point", "coordinates": P}, "buffer": 400})
+    assert len(fc["features"]) == fixtures.GOLDEN_COUNTS["point_buffer400"]
+
+
+# --- feature shape / row-level parity ---------------------------------------
+
+def test_feature_shape_and_coordinate_truncation(engine):
+    fc = _pois(engine, {"bbox": BBOX1})
+    ids = {f["properties"]["osm_id"] for f in fc["features"]}
+    assert ids == {1001, 1002, 1003, 1004, 1005, 1006, 1007}
+    for f in fc["features"]:
+        assert f["geometry"]["type"] == "Point"
+        x, y = f["geometry"]["coordinates"]
+        # quirk Q6: 6-decimal truncation via string format
+        assert x == float(format(x, ".6f")) and y == float(format(y, ".6f"))
+        assert f["properties"]["distance"] >= 0.0
+        assert f["properties"]["category_ids"]
+    assert "information" in fc
+    # bbox of the collection covers all coordinates
+    xs = [f["geometry"]["coordinates"][0] for f in fc["features"]]
+    assert fc["bbox"][0] == min(xs) and fc["bbox"][2] == max(xs)
+
+
+def test_category_object_and_tags(engine):
+    fc = _pois(engine, {"bbox": BBOX1})
+    by_id = {f["properties"]["osm_id"]: f["properties"] for f in fc["features"]}
+    # 1001 tourism=artwork named
+    p = by_id[1001]
+    assert p["category_ids"] == {621: {"category_name": "artwork", "category_group": "tourism"}}
+    assert p["osm_tags"]["name"] == "Stadtmusikanten I"
+    # 1002 has no whitelisted tags -> osm_tags omitted (quirk Q9)
+    assert "osm_tags" not in by_id[1002]
+    # 1006 carries wheelchair=no (whitelisted) but not amenity (not whitelisted)
+    assert by_id[1006]["osm_tags"] == {"wheelchair": "no"}
+
+
+def test_sortby_distance(engine):
+    fc = _pois(engine, {"geojson": {"type": "Point", "coordinates": P}, "buffer": 50},
+               sortby="distance")
+    d = [f["properties"]["distance"] for f in fc["features"]]
+    assert d == sorted(d)
+    assert d[0] < 10  # NOCAT rows at 30 m were dropped at import; nearest curated ~26 m
+    assert all(x <= 50.0 for x in d)
+
+
+def test_limit_off_by_one_quirk(engine):
+    # quirk Q1: limit=n returns at most n-1 features
+    fc = _pois(engine, {"geojson": {"type": "Point", "coordinates": P}, "buffer": 50},
+               limit=5)
+    assert len(fc["features"]) == 4
+
+
+def test_nocat_rows_dropped_at_import(engine):
+    """NOCAT rows sit 30 m from P; if import failed to drop them the
+    buffer-50 golden count would be 23, not 13 (reference parse_osm.py:347)."""
+    fc = _pois(engine, {"geojson": {"type": "Point", "coordinates": P}, "buffer": 50})
+    ids = {f["properties"]["osm_id"] for f in fc["features"]}
+    assert not any(1081 <= i <= 1090 for i in ids)
+
+
+# --- category / custom filters (quirks Q2, Q3) -------------------------------
+
+def test_category_filter_restricts_output_arrays(engine):
+    fc = _pois(engine, {"geojson": {"type": "Point", "coordinates": P}, "buffer": 220},
+               filters={"category_ids": [564]})
+    assert len(fc["features"]) == fixtures.GOLDEN_COUNTS["category564_buffer220"]
+    for f in fc["features"]:
+        # quirk Q2: MULTI rows carry [108, 564] but the filtered query
+        # surfaces only the matching category
+        assert list(f["properties"]["category_ids"].keys()) == [564]
+
+
+def test_custom_filter_wheelchair(engine):
+    fc = _pois(engine, {"geojson": {"type": "Point", "coordinates": P}, "buffer": 400},
+               filters={"wheelchair": ["yes"]})
+    assert len(fc["features"]) == fixtures.GOLDEN_COUNTS["custom_wheelchair_yes_buffer400"]
+    for f in fc["features"]:
+        # quirk Q2: only the matching tag survives in osm_tags
+        assert f["properties"]["osm_tags"] == {"wheelchair": "yes"}
+
+
+def test_two_custom_filters_conjunctive_zero_rows(engine):
+    # quirk Q3: filters AND on the same tag row -> two keys can never match
+    fc = _pois(engine, {"geojson": {"type": "Point", "coordinates": P}, "buffer": 400},
+               filters={"fee": ["yes"], "smoking": ["no"]})
+    assert fc["features"] == []
+
+
+def test_category_group_filter(engine):
+    fc = _pois(engine, {"geojson": {"type": "Point", "coordinates": P}, "buffer": 50},
+               filters={"category_group_ids": [620]})
+    # 9 poi x category pairs but only 9 distinct POIs carry them (singles)
+    assert len(fc["features"]) == 9
+
+
+# --- stats (reference test_stats.py:40-54, quirk Q8) -------------------------
+
+def test_stats_category_ids(engine):
+    out = engine.request({"request": "stats",
+                          "geometry": {"geojson": {"type": "Point", "coordinates": P},
+                                       "buffer": 50},
+                          "filters": {"category_ids": [621]}})
+    assert out["places"]["total_count"] == fixtures.GOLDEN_COUNTS["stats_cat621_buffer50"]
+    assert out["places"]["tourism"]["categories"]["artwork"]["count"] == 6
+
+
+def test_stats_category_group_ids(engine):
+    out = engine.request({"request": "stats",
+                          "geometry": {"geojson": {"type": "Point", "coordinates": P},
+                                       "buffer": 50},
+                          "filters": {"category_group_ids": [620]}})
+    assert out["places"]["total_count"] == fixtures.GOLDEN_COUNTS["stats_group620_buffer50"]
+    assert out["places"]["tourism"]["group_id"] == 620
+
+
+def test_stats_multi_category_rows_count_twice(engine):
+    """Quirk Q8: stats count (poi x category) pairs — the 3 MULTI rows carry
+    two categories each, so unfiltered stats at 220 m include both."""
+    out = engine.request({"request": "stats",
+                          "geometry": {"geojson": {"type": "Point", "coordinates": P},
+                                       "buffer": 220}})
+    s = out["places"]
+    assert s["sustenance"]["categories"]["cafe"]["count"] == 4  # 3 MULTI + 1007
+    assert s["accomodation"]["categories"]["hotel"]["count"] == 3  # MULTI pair side
+
+
+# --- list + error paths (reference test_category_list.py, test_pois.py:124-137)
+
+def test_request_list(engine):
+    out = engine.request({"request": "list"})
+    assert "accomodation" in out and "animals" in out
+
+
+def test_missing_geometry(engine):
+    with pytest.raises(InvalidUsage) as e:
+        engine.request({"request": "pois"})
+    assert e.value.error_code == 4002
+
+
+def test_missing_geojson_coordinates(engine):
+    with pytest.raises(InvalidUsage) as e:
+        engine.request({"request": "pois",
+                        "geometry": {"geojson": {"type": "LineString"}}})
+    assert e.value.error_code == 4000
+
+
+def test_missing_geojson_type(engine):
+    with pytest.raises(InvalidUsage) as e:
+        engine.request({"request": "pois",
+                        "geometry": {"geojson": {"coordinates": [P]}}})
+    assert e.value.error_code == 4000
+
+
+def test_buffer_cap(engine):
+    with pytest.raises(InvalidUsage) as e:
+        _pois(engine, {"geojson": {"type": "Point", "coordinates": P}, "buffer": 2001})
+    assert e.value.error_code == 4008
+
+
+def test_unsupported_geojson_type(engine):
+    with pytest.raises(InvalidUsage) as e:
+        _pois(engine, {"geojson": {"type": "GeometryCollection", "coordinates": [1]}})
+    assert e.value.error_code == 4007
+
+
+def test_multipolygon_fan_out(engine):
+    """Quirk Q7: MultiPolygon -> one FeatureCollection per polygon,
+    independently limited."""
+    poly2 = [[[8.80, 53.08], [8.801, 53.08], [8.801, 53.081], [8.80, 53.081], [8.80, 53.08]]]
+    out = _pois(engine, {"geojson": {"type": "MultiPolygon",
+                                     "coordinates": [POLY, poly2]},
+                         "buffer": 0})
+    assert isinstance(out, list) and len(out) == 2
+    assert len(out[0]["features"]) == fixtures.GOLDEN_COUNTS["polygon"]
+    assert out[1]["features"] == []
+    assert all("information" in fc for fc in out)
