@@ -1,0 +1,77 @@
+"""k-nearest-neighbour query via cell ring expansion (SURVEY.md §2.3: the
+reference has no kNN; north_rule adds it as 'kNN via H3 ring expansion').
+
+Algorithm (driver-steered, each probe a fully-pruned scan):
+  1. R <- initial ring guess; candidates = rows in the Chebyshev cell disk
+     of radius R around the query cell (equi-IN prefilter, same pushdown as
+     the cover join).
+  2. While |candidates| < k: double R.
+  3. Correctness fence: the Chebyshev disk of R cells covers a Euclidean
+     ball of R * min(cell_w, cell_h) meters — if the kth candidate distance
+     exceeds that guaranteed radius, a closer point could hide outside the
+     disk; expand R to cover d_k and re-probe once.
+  4. Exact geodesic distance + ascending top-k (`orderBy(distance).limit(k)`
+     — Spark executes this as a TakeOrderedAndProject, no full sort).
+
+The count() probes in step 2 read only the pruned cells (partition + min/max
+pruning on `cell`), so even at planet scale each probe touches a handful of
+row groups.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import cells, geo
+from .functions import make_distance_udf
+
+
+def _cell_dims_m(res: int, lat: float) -> tuple[float, float]:
+    n = 1 << res
+    h = 180.0 / n * geo.M_PER_DEG_LAT
+    w = 360.0 / n * geo.M_PER_DEG_LAT * float(np.cos(np.radians(lat)))
+    return w, h
+
+
+def knn(df: DataFrame, lon: float, lat: float, k: int,
+        res: int = cells.DEFAULT_RES, max_rings: int = 4096) -> DataFrame:
+    """Top-k nearest rows to (lon, lat).  df needs lon/lat/cell/pcell columns."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    spec = geo.GeomSpec("point", [[lon, lat]])
+    center = int(cells.cell_of(lon, lat, res))
+    cell_w, cell_h = _cell_dims_m(res, lat)
+    min_dim = min(cell_w, cell_h)
+
+    def candidates(r: int) -> DataFrame:
+        disk = cells.ring_cells(center, r)
+        pdisk = np.unique(cells.cell_parent(disk, cells.PARTITION_RES)).tolist()
+        return df.filter(
+            F.col("pcell").isin(pdisk) & F.col("cell").isin(disk.tolist())
+        )
+
+    r = 1
+    while r <= max_rings:
+        cand = candidates(r)
+        n = cand.count()
+        if n >= k:
+            break
+        r *= 2
+    else:
+        r = max_rings
+        cand = candidates(r)
+
+    dist = make_distance_udf(spec)
+    with_d = cand.withColumn("distance", dist(F.col("lon"), F.col("lat")))
+    topk = with_d.orderBy("distance").limit(k)
+    # correctness fence (step 3)
+    kth = topk.agg(F.max("distance").alias("d")).collect()[0].d
+    guaranteed = r * min_dim
+    if kth is not None and kth > guaranteed:
+        need = int(np.ceil(kth / min_dim)) + 1
+        cand = candidates(min(need, max_rings))
+        with_d = cand.withColumn("distance", dist(F.col("lon"), F.col("lat")))
+        topk = with_d.orderBy("distance").limit(k)
+    return topk

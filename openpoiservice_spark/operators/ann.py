@@ -1,0 +1,130 @@
+"""Similarity search over an embedding column (`embeddings(vec_id,
+embedding: array<float>, label)`).
+
+Two tiers (build-brief requirement):
+  * `brute_topk`   — exact cosine top-k.  All math in native Spark
+    higher-order functions (zip_with + aggregate) over doubles: JVM-side,
+    no UDF, no collect.  The top-k is orderBy+limit which Spark executes as
+    TakeOrderedAndProject (per-partition heaps, no global sort).
+  * `lsh_topk`     — the scale path: random-hyperplane LSH.  P hyperplanes
+    (driver-generated, seeded numpy, inlined as literals) bucket every
+    vector by its sign pattern; the query probes its own bucket plus all
+    Hamming<=1 neighbours, then re-ranks the candidates exactly.  At 10^12
+    rows the bucket column is a cheap int key the table can be clustered on.
+  * `cosine_pairs` — near-duplicate detection: exact cosine for vector pairs
+    sharing an LSH bucket (embedding-cosine near-dup for training data).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ))
+
+
+def _qvec_lit(qvec) -> Column:
+    return F.array(*[F.lit(float(x)) for x in qvec])
+
+
+def query_vector(dim: int = 64, seed: int = 7) -> np.ndarray:
+    """Deterministic unit query vector (tests + driver-gate parity: the same
+    literals are inlined into the DuckDB oracle SQL)."""
+    rng = np.random.default_rng(seed)
+    v = rng.normal(size=dim)
+    return v / np.linalg.norm(v)
+
+
+def cosine_col(vec_col: Column, qvec) -> Column:
+    q = _qvec_lit(qvec)
+    qn = float(np.linalg.norm(np.asarray(qvec, dtype=np.float64)))
+    return _dot(vec_col, q) / (_norm(vec_col) * F.lit(qn))
+
+
+def brute_topk(emb: DataFrame, qvec, k: int = 10) -> DataFrame:
+    """Exact cosine top-k against a single query vector."""
+    return (
+        emb.select(
+            "vec_id",
+            F.round(cosine_col(F.col("embedding"), qvec), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(k)
+    )
+
+
+def hyperplanes(n_planes: int = 8, dim: int = 64, seed: int = 13) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.normal(size=(n_planes, dim))
+
+
+def bucket_col(vec_col: Column, planes: np.ndarray) -> Column:
+    """Sign-pattern bucket id: bit p set iff dot(plane_p, v) > 0."""
+    out = F.lit(0)
+    for p, plane in enumerate(planes):
+        bit = F.when(_dot(vec_col, _qvec_lit(plane)) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        out = out + bit
+    return out.cast("int")
+
+
+def lsh_topk(emb: DataFrame, qvec, k: int = 10, planes: np.ndarray | None = None) -> DataFrame:
+    """Approximate top-k: probe the query's bucket and all Hamming<=1
+    neighbour buckets, re-rank exactly.  Recall is tunable via n_planes /
+    probe radius; candidates shrink ~2^-P of the table."""
+    planes = hyperplanes() if planes is None else planes
+    q = np.asarray(qvec, dtype=np.float64)
+    qbits = 0
+    for p, plane in enumerate(planes):
+        if float(plane @ q) > 0:
+            qbits |= 1 << p
+    probe = [qbits] + [qbits ^ (1 << p) for p in range(len(planes))]
+    cand = emb.withColumn("bucket", bucket_col(F.col("embedding"), planes)) \
+              .filter(F.col("bucket").isin(probe))
+    return (
+        cand.select(
+            "vec_id",
+            F.round(cosine_col(F.col("embedding"), qvec), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(k)
+    )
+
+
+def cosine_pairs(emb: DataFrame, threshold: float = 0.9,
+                 planes: np.ndarray | None = None) -> DataFrame:
+    """Embedding near-dup pairs: bucket self-join + exact cosine filter."""
+    planes = hyperplanes() if planes is None else planes
+    b = emb.withColumn("bucket", bucket_col(F.col("embedding"), planes)) \
+           .select("vec_id", "bucket", "embedding")
+    l, r = b.alias("l"), b.alias("r")
+    pairs = l.join(
+        r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.vec_id") < F.col("r.vec_id"))
+    )
+    cos = F.round(
+        _dot(F.col("l.embedding"), F.col("r.embedding"))
+        / (_norm(F.col("l.embedding")) * _norm(F.col("r.embedding"))),
+        6,
+    )
+    return (
+        pairs.select(
+            F.col("l.vec_id").alias("vec_a"),
+            F.col("r.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,211 @@
+"""Text / deduplication operators over a `documents(doc_id, text, ...)` table.
+
+Scale notes (the 100 TB design point):
+  * every operator is a pure DataFrame pipeline — shingle/token explosion is
+    the only row-multiplying step and it map-side-combines into per-doc
+    aggregates before any shuffle;
+  * MinHash-LSH turns O(n^2) near-dup search into an equi-join on
+    (band, band_hash) — the classic shingle -> minhash -> band -> bucket-join
+    pipeline; bucket sizes are bounded by banding so the self-join never
+    quadratically explodes except on true near-dup clusters;
+  * hashes are md5-based (bit-identical in DuckDB) rather than xxhash: the
+    goal here is portability of the correctness oracle; swap HASH_EXPR for
+    `xxhash64` on a production cluster for ~3x hash throughput.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 32-bit integer hash from a string, identical in Spark and DuckDB:
+#   Spark : conv(substring(md5(x), 1, 8), 16, 10)::long
+#   DuckDB: CAST(concat('0x', substr(md5(x), 1, 8)) AS BIGINT)
+
+
+def _h32(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+# ----------------------------------------------------------------- dedup
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact duplicate groups: md5(text) -> (n_docs, keep_id).  keep_id is
+    the smallest doc_id (deterministic survivor)."""
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
+    )
+
+
+def shingles(docs: DataFrame, n: int = 5) -> DataFrame:
+    """Explode each doc into its character n-gram shingles (distinct)."""
+    sh = F.expr(f"transform(sequence(1, length(text) - {n - 1}), i -> substring(text, i, {n}))")
+    return docs.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+
+
+def minhash_signatures(docs: DataFrame, k: int = 8, n: int = 5) -> DataFrame:
+    """k-permutation MinHash signature per doc: perm i = min over shingles of
+    h32(shingle || '#' || i).  One explode, k map-side mins, one shuffle."""
+    sh = shingles(docs, n)
+    aggs = [
+        F.min(_h32(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(docs: DataFrame, k: int = 8, bands: int = 4, n: int = 5) -> DataFrame:
+    """Band the signatures and self-join on (band, band_hash): docs agreeing
+    on any band become a candidate pair (doc_a < doc_b)."""
+    sig = minhash_signatures(docs, k, n)
+    rows_per_band = k // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
+        band_cols.append(F.struct(F.lit(b).alias("band"),
+                                  F.md5(F.concat_ws("_", *parts)).alias("bhash")))
+    banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bb")) \
+                .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(right, (F.col("l.band") == F.col("r.band"))
+                  & (F.col("l.bhash") == F.col("r.bhash"))
+                  & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 5,
+                        k: int = 8, bands: int = 4) -> DataFrame:
+    """Near-duplicate pairs with exact n-gram Jaccard >= threshold, computed
+    only for LSH candidate pairs (verification join, not O(n^2))."""
+    cand = lsh_candidate_pairs(docs, k, bands, n)
+    sh = shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle")),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .withColumn("jaccard", F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """SimHash fingerprint over word tokens: bit b of the fingerprint is the
+    sign of sum over tokens of (2*bit_b(h32(token)) - 1)."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.expr(r"regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).alias("tok"),
+    )
+    h = _h32(F.col("tok"))
+    aggs = [
+        F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    per_doc = toks.groupBy("doc_id").agg(*aggs)
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return per_doc.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+# ----------------------------------------------------------------- analysis
+
+_STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "that", "for", "it"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "de", "du", "pour"],
+    "es": ["el", "la", "los", "las", "y", "es", "un", "una", "de", "por"],
+}
+
+
+def _word_count(col: Column) -> Column:
+    return F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)"))
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-ratio language ID (n-gram heuristic family).  Emits per-lang
+    scores + argmax prediction; 'und' (undetermined) when no stopword hits."""
+    out = docs.select("doc_id", "text")
+    score_cols = []
+    for lang, words in _STOPWORDS.items():
+        pat = r"\\b(" + "|".join(words) + r")\\b"
+        c = F.size(F.expr(f"regexp_extract_all(lower(text), '{pat}', 0)"))
+        out = out.withColumn(f"score_{lang}", c)
+        score_cols.append(f"score_{lang}")
+    best = F.greatest(*[F.col(c) for c in score_cols])
+    pred = F.lit("und")
+    for lang in reversed(list(_STOPWORDS)):  # earlier langs win ties
+        pred = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    return out.select("doc_id", *score_cols, pred.alias("pred_lang"))
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality features + score: length, word stats, punctuation &
+    stopword ratios (the usual pretraining-filter features)."""
+    n_chars = F.length("text")
+    n_words = _word_count(F.col("text"))
+    n_punct = F.size(F.expr(r"regexp_extract_all(text, '[.,;:!?]', 0)"))
+    n_stop = F.size(F.expr(
+        r"regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in|is|that|for|it)\\b', 0)"
+    ))
+    df = docs.select(
+        "doc_id",
+        n_chars.alias("n_chars2"),
+        n_words.alias("n_words"),
+        n_punct.alias("n_punct"),
+        n_stop.alias("n_stop"),
+    )
+    mean_wlen = (F.col("n_chars2") - (F.col("n_words") - 1)) / F.col("n_words")
+    stop_ratio = F.col("n_stop") / F.col("n_words")
+    punct_ratio = F.col("n_punct") / F.col("n_chars2")
+    score = (
+        F.when(F.col("n_words") >= 20, F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when((mean_wlen >= 3.0) & (mean_wlen <= 10.0), F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio >= 0.05, F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio <= 0.1, F.lit(0.1)).otherwise(F.lit(0.0))
+    )
+    return df.select(
+        "doc_id", "n_words", "n_punct", "n_stop",
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword proxy (runs of <=4 letters,
+    digit runs, single non-alnum marks)."""
+    n_ws = F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)"))
+    n_sub = F.size(F.expr(
+        r"regexp_extract_all(lower(text), '[a-z]{1,4}|[0-9]+|[^a-z0-9\\s]', 0)"
+    ))
+    return docs.select("doc_id", n_ws.alias("n_tokens_ws"), n_sub.alias("n_tokens_sub"))
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Canonical document fingerprint: md5 of the normalized text (lowercase,
+    punctuation stripped, whitespace collapsed)."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return docs.select("doc_id", F.md5(norm).alias("fp"))

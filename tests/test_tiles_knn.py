@@ -1,0 +1,128 @@
+"""Tile assignment (graft axis B) + kNN extension tests."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from openpoiservice_spark import fixtures, imaging, knn, prepare, tiles
+from openpoiservice_spark.captions import decode_phash
+
+
+def _pois(spark, fixture_paths):
+    return prepare.read_prepared(spark, fixture_paths["prepared"])
+
+
+def test_assign_tiles_matches_numpy_oracle(spark, fixture_paths):
+    df = _pois(spark, fixture_paths).select("image_id", "lon", "lat", "w", "h")
+    for z in (10, 14):
+        got = (
+            tiles.assign_tiles(df, z)
+            .select("image_id", "tx", "ty", "px_count")
+            .toPandas()
+            .sort_values(["image_id", "tx", "ty"])
+            .reset_index(drop=True)
+        )
+        pdf = df.toPandas().sort_values("image_id").reset_index(drop=True)
+        oracle = imaging.tile_pixel_counts(
+            pdf["lon"].to_numpy(), pdf["lat"].to_numpy(),
+            pdf["w"].to_numpy(), pdf["h"].to_numpy(), z,
+        )
+        exp = pd.DataFrame(
+            {
+                "image_id": pdf["image_id"].to_numpy()[oracle[:, 0].astype(int)],
+                "tx": oracle[:, 1],
+                "ty": oracle[:, 2],
+                "px_count": oracle[:, 3],
+            }
+        ).sort_values(["image_id", "tx", "ty"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_tile_pixel_conservation(spark, fixture_paths):
+    """Every pixel of every image lands in exactly one tile."""
+    df = _pois(spark, fixture_paths).select("image_id", "lon", "lat", "w", "h")
+    z = 14
+    per_image = (
+        tiles.assign_tiles(df, z)
+        .groupBy("image_id")
+        .agg(F.sum("px_count").alias("px"), F.count("*").alias("n_tiles"))
+    )
+    joined = per_image.join(df, "image_id")
+    bad = joined.filter(
+        (F.col("px") != F.col("w") * F.col("h")) | (F.col("n_tiles") > 4)
+    ).count()
+    assert bad == 0
+
+
+def test_tile_pixel_stats_decode(spark, fixture_paths):
+    """Decode path: per-tile intensity sums must equal the regenerated-pixel
+    oracle (exact for png; jpeg rows decode to their quantized payload so
+    sums match the decoded array exactly too)."""
+    df = (
+        _pois(spark, fixture_paths)
+        .filter(F.col("osm_id").between(1001, 1070))
+        .select("image_id", "bytes", "fmt", "lon", "lat", "w", "h")
+    )
+    got = tiles.tile_pixel_stats(df, 14).toPandas()
+    pdf = df.select("image_id", "bytes", "fmt", "w", "h").toPandas()
+    total_by_image = got.groupby("image_id")[["px_count", "sum_intensity"]].sum()
+    for _, r in pdf.iterrows():
+        px = imaging.decode_image(bytes(r["bytes"]), r["fmt"]).astype(np.float64)
+        exp_sum = float(px.mean(axis=2).sum())
+        assert abs(total_by_image.loc[r["image_id"], "sum_intensity"] - exp_sum) < 1e-6
+        assert total_by_image.loc[r["image_id"], "px_count"] == r["w"] * r["h"]
+
+
+def test_decoded_pixels_psnr_invariant(spark, fixture_paths):
+    """BASELINE.json input_hint invariant: decoded pixels allclose vs the
+    regenerated array (exact for png, PSNR >= 40 dB for lossy fmt), caption
+    untouched end-to-end."""
+    rows = (
+        _pois(spark, fixture_paths)
+        .filter(F.col("osm_id").between(1001, 1010))
+        .select("image_id", "bytes", "fmt", "caption")
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        regen, fmt = imaging.synth_pixels(r.image_id)
+        assert fmt == r.fmt
+        decoded = imaging.decode_image(bytes(r.bytes), r.fmt)
+        if r.fmt == "png":
+            assert np.array_equal(decoded, regen)
+        else:
+            assert imaging.psnr(regen, decoded) >= 40.0
+        assert r.caption.startswith("osm_type=")
+
+
+def test_knn_matches_brute_force(spark, fixture_paths):
+    df = _pois(spark, fixture_paths)
+    lon0, lat0 = fixtures.POINT_P
+    for k in (1, 5, 25):
+        got = knn.knn(df, lon0, lat0, k).select("osm_id", "distance").collect()
+        assert len(got) == k
+        # brute force over the full table
+        pdf = df.select("osm_id", "lon", "lat").toPandas()
+        from openpoiservice_spark import geo
+
+        d = geo.haversine_m(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), lon0, lat0)
+        brute = pdf.assign(d=d).nsmallest(k, "d")
+        assert {r.osm_id for r in got} == set(brute["osm_id"])
+        np.testing.assert_allclose(
+            sorted(r.distance for r in got), np.sort(brute["d"].to_numpy()), rtol=1e-9
+        )
+
+
+def test_knn_far_from_data_expands(spark, fixture_paths):
+    """Query point in an empty region: ring expansion must still find the
+    true nearest rows (exercises the doubling loop + correctness fence)."""
+    df = _pois(spark, fixture_paths)
+    lon0, lat0 = 8.5, 52.6  # inside the filler bbox but away from clusters
+    got = knn.knn(df, lon0, lat0, 3).select("osm_id", "distance").collect()
+    assert len(got) == 3
+    pdf = df.select("osm_id", "lon", "lat").toPandas()
+    from openpoiservice_spark import geo
+
+    d = geo.haversine_m(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), lon0, lat0)
+    brute = set(pdf.assign(d=d).nsmallest(3, "d")["osm_id"])
+    assert {r.osm_id for r in got} == brute

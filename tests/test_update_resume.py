@@ -1,0 +1,116 @@
+"""MERGE update parity (reference tests/test_update.py:18-40) + lineage
+resume idempotence (north_rule: 'resumable from checkpoint with
+per-partition lineage + metrics')."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from openpoiservice_spark import fixtures, prepare
+from openpoiservice_spark.api import PoiEngine
+
+P = list(fixtures.POINT_P)
+
+
+@pytest.fixture(scope="module")
+def merge_env(spark, tmp_path_factory):
+    """A dedicated prepared table (module-scoped: the merge mutates it)."""
+    root = tmp_path_factory.mktemp("merge")
+    raw = str(root / "raw.parquet")
+    prepared = str(root / "prepared")
+    fixtures.build_sf_test(raw, n_filler=500)
+    prepare.prepare(spark, raw, prepared)
+    return {"raw": raw, "prepared": prepared, "root": root}
+
+
+def _count400(spark, prepared):
+    eng = PoiEngine(spark, prepared)
+    fc = eng.request({"request": "pois",
+                      "geometry": {"geojson": {"type": "Point", "coordinates": P},
+                                   "buffer": 400}})
+    return fc
+
+
+def test_update_merge_parity(spark, merge_env):
+    """Mirrors the reference flow: re-import a modified fixture -> feature
+    count unchanged (1 added, 1 deleted), one POI renamed, the added POI is
+    the reference's 'Ein Impfzentrum' id (test_update.py:33-40)."""
+    before = _count400(spark, merge_env["prepared"])
+    assert len(before["features"]) == 38
+
+    ups, dels, expected = fixtures.merge_patch_frame()
+    up_path = os.path.join(str(merge_env["root"]), "ups.parquet")
+    pq.write_table(pa.Table.from_pandas(ups, preserve_index=False), up_path)
+    stats = prepare.merge(
+        spark, merge_env["prepared"], spark.read.parquet(up_path),
+        [(1, d) for d in dels],
+    )
+    assert stats["pcells"] >= 1
+
+    after = _count400(spark, merge_env["prepared"])
+    assert len(after["features"]) == 38  # one in, one out
+    props = {f["properties"]["osm_id"]: f["properties"] for f in after["features"]}
+    assert fixtures.UPDATE_DELETE_ID not in props
+    assert 2134315509 in props
+    assert props[2134315509]["osm_tags"]["name"] == "Ein Impfzentrum"
+    assert props[fixtures.UPDATE_RENAME_ID]["osm_tags"]["name"] == fixtures.UPDATE_RENAMED_NAME
+    # healthcare:speciality is whitelisted and must surface (reference
+    # ops_settings.yml:27-47)
+    assert props[2134315509]["osm_tags"]["healthcare:speciality"] == "vaccination"
+    # category derived through the taxonomy: vaccination -> 212 (healthcare)
+    assert 212 in props[2134315509]["category_ids"]
+
+
+def test_merge_is_idempotent(spark, merge_env):
+    """Re-applying the same patch must not change anything (snapshot-safe)."""
+    ups, dels, _ = fixtures.merge_patch_frame()
+    up_path = os.path.join(str(merge_env["root"]), "ups2.parquet")
+    pq.write_table(pa.Table.from_pandas(ups, preserve_index=False), up_path)
+    prepare.merge(spark, merge_env["prepared"], spark.read.parquet(up_path),
+                  [(1, d) for d in dels])
+    after = _count400(spark, merge_env["prepared"])
+    assert len(after["features"]) == 38
+
+
+def test_resume_skips_committed_partitions(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("resume")
+    raw = str(root / "raw.parquet")
+    prepared = str(root / "prepared")
+    fixtures.build_sf_test(raw, n_filler=300)
+    s1 = prepare.prepare(spark, raw, prepared)
+    assert s1["skipped"] == 0 and s1["pcells"] > 0
+    total1 = prepare.read_prepared(spark, prepared).count()
+
+    s2 = prepare.prepare(spark, raw, prepared)  # identical re-run
+    assert s2["skipped"] == s1["pcells"] and s2["pcells"] == 0
+    assert prepare.read_prepared(spark, prepared).count() == total1  # no dupes
+
+
+def test_lineage_records_metrics(spark, merge_env):
+    lin = prepare.read_lineage(spark, merge_env["prepared"])
+    assert lin is not None
+    imports = lin.filter(F.col("op") == "import")
+    assert imports.count() > 0
+    row = imports.first()
+    assert row.n_rows > 0 and row.approx_bytes > 0 and row.wall_ms >= 0
+    assert row.status == "committed"
+    merges = lin.filter(F.col("op") == "merge")
+    assert merges.count() > 0
+
+
+def test_partition_layout_and_pruning(spark, merge_env):
+    """The physical contract: pcell directory partitioning + cell filters
+    reach the scan (PartitionFilters / PushedFilters in the plan)."""
+    df = prepare.read_prepared(spark, merge_env["prepared"])
+    some_pcell = df.select("pcell").first().pcell
+    plan = (
+        df.filter(F.col("pcell") == some_pcell)
+        .filter(F.col("cell") > 0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan
+    assert "pcell" in plan
+    assert "PushedFilters" in plan
