@@ -1,0 +1,273 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ...}
+plus informational keys (rows, rows/sec, scaling efficiency when
+SPARK_GRAFT_SCALING=1 runs the same job at local[8] and local[32] — the
+sandbox evidence protocol for the north rule's two-cluster-size criterion).
+
+Phase 0 (cached, excluded from query timings, reported as `prepare_sec`):
+materialize the poi_images-prepared table from the testdata `lineitem`
+derivation — the import pipeline itself, incl. distributed image synthesis.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql import types as T  # noqa: E402
+
+from openpoiservice_spark import cells as C  # noqa: E402
+from openpoiservice_spark import derive as D  # noqa: E402
+from openpoiservice_spark import geo as G  # noqa: E402
+from openpoiservice_spark import knn as K  # noqa: E402
+from openpoiservice_spark import prepare as P  # noqa: E402
+from openpoiservice_spark import tiles as TI  # noqa: E402
+from openpoiservice_spark.functions import make_refine_udf  # noqa: E402
+from openpoiservice_spark.operators import ann as ANN  # noqa: E402
+from openpoiservice_spark.operators import text as TX  # noqa: E402
+from openpoiservice_spark.session import get_spark  # noqa: E402
+
+CACHE = os.path.join(REPO, ".bench_cache")
+
+
+def _raw_from_testdata(spark, sf_dir):
+    """lineitem -> raw poi_images table (the 7-column input_hint schema),
+    image bytes synthesized distributed (mapInPandas)."""
+    view = D.spark_poi_view(spark, sf_dir)
+    pool_expr = "CASE (poi_id % 40) " + " ".join(
+        f"WHEN {i} THEN '{k}={v}'" for i, (k, v, _, _) in enumerate(D.POOL)
+    ) + " END"
+    raw = view.select(
+        F.concat(F.lit("img-1-"), F.col("poi_id").cast("string")).alias("image_id"),
+        "w", "h", "lon", "lat",
+        F.concat(
+            F.lit("osm_type=1;osm_id="), F.col("poi_id").cast("string"),
+            F.lit(";"), F.expr(pool_expr),
+        ).alias("caption"),
+        (
+            (F.round((F.col("lat") + 90.0) * 1e7).cast("long") * F.lit(4294967296).cast("long"))
+            + F.round((F.col("lon") + 180.0) * 1e7).cast("long")
+        ).alias("phash"),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType()),
+            T.StructField("bytes", T.BinaryType()),
+            T.StructField("w", T.IntegerType()),
+            T.StructField("h", T.IntegerType()),
+            T.StructField("fmt", T.StringType()),
+            T.StructField("caption", T.StringType()),
+            T.StructField("phash", T.LongType()),
+        ]
+    )
+
+    def gen(batches):
+        from openpoiservice_spark import imaging
+
+        for b in batches:
+            recs = []
+            for iid in b["image_id"]:
+                px, fmt = imaging.synth_pixels(iid)
+                recs.append((imaging.encode_image(px, fmt), px.shape[1], px.shape[0], fmt))
+            yield pd.DataFrame(
+                {
+                    "image_id": b["image_id"],
+                    "bytes": [r[0] for r in recs],
+                    "w": np.array([r[1] for r in recs], dtype=np.int32),
+                    "h": np.array([r[2] for r in recs], dtype=np.int32),
+                    "fmt": [r[3] for r in recs],
+                    "caption": b["caption"],
+                    "phash": b["phash"],
+                }
+            )
+
+    return raw.mapInPandas(gen, schema=out_schema)
+
+
+def ensure_prepared(spark, sf_dir: str) -> tuple[str, float]:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(CACHE, tag)
+    raw_path = os.path.join(root, "raw")
+    prepared = os.path.join(root, "prepared")
+    marker = os.path.join(root, "PREPARED_OK")
+    if os.path.exists(marker):
+        return prepared, 0.0
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    t0 = time.time()
+    _raw_from_testdata(spark, sf_dir).write.mode("overwrite").parquet(raw_path)
+    P.prepare(spark, raw_path, prepared, resume=False)
+    dt = time.time() - t0
+    with open(marker, "w") as f:
+        f.write("ok")
+    return prepared, dt
+
+
+def _timed(fn):
+    t0 = time.time()
+    out = fn()
+    return out, time.time() - t0
+
+
+def run_queries(spark, prepared: str, sf_dir: str) -> tuple[dict, dict]:
+    pois = P.read_prepared(spark, prepared)
+    n_rows = pois.count()
+    timings: dict[str, float] = {}
+    info: dict[str, float] = {"rows": n_rows}
+
+    line_spec = G.GeomSpec("linestring", D.LINE_Q)
+    cover = C.cover_geometry(line_spec, D.CORRIDOR_M, _res := 12)
+    pcover = np.unique(C.cell_parent(cover, C.PARTITION_RES)).tolist()
+    from openpoiservice_spark.functions import cell_parent_expr
+
+    qcell = cell_parent_expr(F.col("cell"), C.DEFAULT_RES, _res)
+    refine = make_refine_udf(line_spec, D.CORRIDOR_M, None)
+
+    # headline: spatial join (cover prefilter + exact refine) + raster tile
+    # assignment + histogram rollup
+    def corridor_tiles():
+        hits = (
+            pois.filter(F.col("pcell").isin(pcover))
+            .filter(qcell.isin(cover.tolist()))
+            .filter(refine(F.col("lon"), F.col("lat")))
+            .select("osm_id", "lon", "lat", "w", "h")
+        )
+        return TI.tile_histogram(hits, 14).count()
+
+    info["corridor_tile_rows"], timings["corridor_tiles"] = _timed(corridor_tiles)
+
+    # bbox query through the engine plan
+    bbox_spec = G.bbox_spec(*D.BBOX_Q)
+    bcover = C.cover_geometry(bbox_spec, 0.0, _res)
+    brefine = make_refine_udf(bbox_spec, 0.0, None)
+
+    def bbox_count():
+        return (
+            pois.filter(F.col("pcell").isin(
+                np.unique(C.cell_parent(bcover, C.PARTITION_RES)).tolist()))
+            .filter(qcell.isin(bcover.tolist()))
+            .filter(brefine(F.col("lon"), F.col("lat")))
+            .count()
+        )
+
+    info["bbox_rows"], timings["bbox"] = _timed(bbox_count)
+
+    # radius + category stats (explode + hash agg)
+    pt_spec = G.GeomSpec("point", [D.POINT_Q])
+    rcover = C.cover_geometry(pt_spec, D.RADIUS_Q, _res)
+    rrefine = make_refine_udf(pt_spec, D.RADIUS_Q, None)
+
+    def radius_stats():
+        return (
+            pois.filter(F.col("pcell").isin(
+                np.unique(C.cell_parent(rcover, C.PARTITION_RES)).tolist()))
+            .filter(qcell.isin(rcover.tolist()))
+            .filter(rrefine(F.col("lon"), F.col("lat")))
+            .select(F.explode("category_ids").alias("category"))
+            .groupBy("category").count().count()
+        )
+
+    info["stats_groups"], timings["radius_stats"] = _timed(radius_stats)
+
+    # kNN
+    def knn100():
+        return K.knn(pois, D.POINT_Q[0], D.POINT_Q[1], 100).count()
+
+    _, timings["knn_100"] = _timed(knn100)
+
+    # tile pixel decode on the corridor subset (the binary-payload stage)
+    def corridor_pixels():
+        hits = (
+            pois.filter(F.col("pcell").isin(pcover))
+            .filter(qcell.isin(cover.tolist()))
+            .filter(refine(F.col("lon"), F.col("lat")))
+            .select("image_id", "bytes", "fmt", "lon", "lat", "w", "h")
+        )
+        return (
+            TI.tile_pixel_stats(hits, 14)
+            .groupBy("tx", "ty").agg(F.sum("sum_intensity")).count()
+        )
+
+    info["pixel_tiles"], timings["corridor_pixels"] = _timed(corridor_pixels)
+
+    # training-data ops on documents/embeddings at the same sf
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _, timings["minhash_lsh"] = _timed(lambda: TX.lsh_candidate_pairs(docs).count())
+    _, timings["ann_brute_top10"] = _timed(
+        lambda: ANN.brute_topk(emb, ANN.query_vector(), 10).count()
+    )
+    return timings, info
+
+
+def run_at(master_cpus: int, sf_dir: str) -> dict:
+    spark = get_spark(
+        app=f"opss-bench-{master_cpus}",
+        master=f"local[{master_cpus}]",
+        shuffle_partitions=max(master_cpus, 8),
+    )
+    try:
+        prepared, prep_sec = ensure_prepared(spark, sf_dir)
+        timings, info = run_queries(spark, prepared, sf_dir)
+        return {"timings": timings, "info": info, "prepare_sec": round(prep_sec, 3)}
+    finally:
+        spark.stop()
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    scaling = os.environ.get("SPARK_GRAFT_SCALING") == "1"
+
+    res = run_at(cpus, sf_dir)
+    timings = {k: round(v, 3) for k, v in res["timings"].items()}
+    total = round(sum(timings.values()), 3)
+    rows = res["info"]["rows"]
+    out = {
+        "metric": "spatial-join + tile-assignment wall time (engine queries at sf)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_tag,
+        "cpus": cpus,
+        "rows": rows,
+        "prepare_sec": res["prepare_sec"],
+        "headline_rows_per_sec": round(rows / timings["corridor_tiles"], 1),
+    }
+
+    if scaling:
+        lo = run_at(8, sf_dir)
+        hi = run_at(32, sf_dir)
+        t_lo = sum(lo["timings"].values())
+        t_hi = sum(hi["timings"].values())
+        thr_lo = rows / lo["timings"]["corridor_tiles"]
+        thr_hi = rows / hi["timings"]["corridor_tiles"]
+        out["scaling"] = {
+            "local8_sec": round(t_lo, 3),
+            "local32_sec": round(t_hi, 3),
+            "local8_headline_rows_per_sec": round(thr_lo, 1),
+            "local32_headline_rows_per_sec": round(thr_hi, 1),
+            "efficiency_headline": round(thr_hi / (4 * thr_lo), 3),
+            "efficiency_total": round(t_lo / (4 * t_hi), 3),
+        }
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -52,7 +52,9 @@ def knn(df: DataFrame, lon: float, lat: float, k: int,
             F.col("pcell").isin(pdisk) & F.col("cell").isin(disk.tolist())
         )
 
-    r = 1
+    # initial ring sized for k assuming >= 1 row/cell (each doubling is a
+    # full driver round-trip — start where success is plausible)
+    r = max(1, int(np.ceil(np.sqrt(k) / 2.0)))
     while r <= max_rings:
         cand = candidates(r)
         n = cand.count()

@@ -41,7 +41,12 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 def shingles(docs: DataFrame, n: int = 5) -> DataFrame:
     """Explode each doc into its character n-gram shingles (distinct)."""
     sh = F.expr(f"transform(sequence(1, length(text) - {n - 1}), i -> substring(text, i, {n}))")
-    return docs.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    # guard: Spark's sequence(1, x) runs DOWNWARD for x < 1 — short docs must
+    # be excluded, not fed to sequence (DuckDB's range(1, x) is empty there)
+    return (
+        docs.filter(F.length("text") >= n)
+        .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
 
 
 def minhash_signatures(docs: DataFrame, k: int = 8, n: int = 5) -> DataFrame:
@@ -55,7 +60,7 @@ def minhash_signatures(docs: DataFrame, k: int = 8, n: int = 5) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(docs: DataFrame, k: int = 8, bands: int = 4, n: int = 5) -> DataFrame:
+def lsh_candidate_pairs(docs: DataFrame, k: int = 8, bands: int = 2, n: int = 5) -> DataFrame:
     """Band the signatures and self-join on (band, band_hash): docs agreeing
     on any band become a candidate pair (doc_a < doc_b)."""
     sig = minhash_signatures(docs, k, n)
@@ -79,8 +84,8 @@ def lsh_candidate_pairs(docs: DataFrame, k: int = 8, bands: int = 4, n: int = 5)
     return pairs
 
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 5,
-                        k: int = 8, bands: int = 4) -> DataFrame:
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.2, n: int = 5,
+                        k: int = 8, bands: int = 2) -> DataFrame:
     """Near-duplicate pairs with exact n-gram Jaccard >= threshold, computed
     only for LSH candidate pairs (verification join, not O(n^2))."""
     cand = lsh_candidate_pairs(docs, k, bands, n)

@@ -1,0 +1,102 @@
+"""Physical-plan assertions — the scale contract (SURVEY.md §4).
+
+These tests pin the properties that make the engine viable at 100 TB:
+filters reach the Parquet scan (partition pruning + row-group pruning),
+`bytes` never enters a scan that doesn't need it (column pruning), the
+expression pipeline stays inside WholeStageCodegen, and small join sides
+broadcast."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from openpoiservice_spark import cells, derive, prepare
+from openpoiservice_spark.functions import cell_expr
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_pcell_filter_prunes_partitions(spark, fixture_paths):
+    df = prepare.read_prepared(spark, fixture_paths["prepared"])
+    pc = df.select("pcell").first().pcell
+    plan = _plan(df.filter(F.col("pcell") == pc).filter(F.col("cell") > 0))
+    assert "PartitionFilters" in plan and "pcell" in plan.split("PartitionFilters")[1][:200]
+    # cell range predicate reaches parquet row-group stats
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters")[1][:200]
+    assert "cell" in pushed
+
+
+def test_bytes_not_read_for_metadata_queries(spark, fixture_paths):
+    """Column pruning: a query that never touches `bytes` must not have it in
+    the scan's ReadSchema (SURVEY.md §7 binary payload discipline)."""
+    df = prepare.read_prepared(spark, fixture_paths["prepared"])
+    q = df.select("osm_id", "lon", "lat").filter(F.col("lon") > 8.0)
+    plan = _plan(q)
+    read_schema = plan.split("ReadSchema")[1][:400]
+    assert "bytes" not in read_schema
+    assert "lon" in read_schema
+
+
+def test_cover_isin_is_pushed_and_codegen(spark):
+    """The cover prefilter compiles to an IN predicate evaluated inside
+    WholeStageCodegen, with the cell arithmetic in native expressions."""
+    view = derive.spark_poi_view(spark, "/root/testdata/sf0.001")
+    qcell = cell_expr(F.col("lon"), F.col("lat"), 12)
+    df = view.filter(qcell.isin([1, 2, 3]))
+    plan = _plan(df)
+    # "*(n)" prefixes mark whole-stage-codegen stages in the plan string
+    assert "*(1)" in plan or "WholeStageCodegen" in plan
+    # no python UDF in the prefilter stage
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_small_cover_join_broadcasts(spark, fixture_paths):
+    """When the cover exceeds the IN threshold the engine joins against a
+    cover DataFrame — small covers must broadcast, not shuffle."""
+    df = prepare.read_prepared(spark, fixture_paths["prepared"])
+    cover_df = spark.createDataFrame([(int(c),) for c in range(100)], "qcell long")
+    joined = df.withColumn("qcell", F.col("cell") % 100).join(
+        F.broadcast(cover_df), "qcell"
+    )
+    plan = _plan(joined)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_refine_is_arrow_vectorized(spark, fixture_paths, engine):
+    """The exact refine runs as an Arrow-batched pandas UDF (ArrowEvalPython),
+    never row-at-a-time Python (BatchEvalPython)."""
+    payload = {
+        "request": "pois",
+        "geometry": {"geojson": {"type": "Point",
+                                 "coordinates": [8.8075, 53.0753]}, "buffer": 50},
+    }
+    plan = _plan(engine.pois_df(payload))
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_stats_partial_aggregation(spark, fixture_paths, engine):
+    """The stats plan must map-side combine (partial_count before the
+    exchange) — the shuffle carries (category, partial) not raw rows."""
+    payload = {
+        "request": "stats",
+        "geometry": {"geojson": {"type": "Point",
+                                 "coordinates": [8.8075, 53.0753]}, "buffer": 400},
+    }
+    plan = _plan(engine.stats_df(payload))
+    assert "partial_count" in plan
+    assert plan.index("partial_count") > plan.index("Exchange") or "Exchange" in plan
+
+
+def test_topk_is_take_ordered(spark):
+    """orderBy+limit compiles to TakeOrderedAndProject (per-partition heaps),
+    not a global sort — the kNN/limit scale property."""
+    view = derive.spark_poi_view(spark, "/root/testdata/sf0.001")
+    q = view.orderBy("lon").limit(10)
+    assert "TakeOrderedAndProject" in _plan(q)
