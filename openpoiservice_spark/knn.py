@@ -45,11 +45,27 @@ def knn(df: DataFrame, lon: float, lat: float, k: int,
     cell_w, cell_h = _cell_dims_m(res, lat)
     min_dim = min(cell_w, cell_h)
 
+    grid_n = 1 << res
+    cx0 = (center >> 26) & ((1 << 26) - 1)
+    cy0 = center & ((1 << 26) - 1)
+
     def candidates(r: int) -> DataFrame:
-        disk = cells.ring_cells(center, r)
-        pdisk = np.unique(cells.cell_parent(disk, cells.PARTITION_RES)).tolist()
+        """The Chebyshev cell disk is an axis-aligned rectangle in grid
+        space — expressed as lon/lat range predicates (pushed down to
+        Parquet row-group min/max stats; within-partition sort by cell makes
+        lon/lat strongly clustered) instead of a cell IN-list whose size
+        would grow O(r^2)."""
+        lon_lo = -180.0 + max(cx0 - r, 0) * 360.0 / grid_n
+        lon_hi = -180.0 + min(cx0 + r + 1, grid_n) * 360.0 / grid_n
+        lat_lo = -90.0 + max(cy0 - r, 0) * 180.0 / grid_n
+        lat_hi = -90.0 + min(cy0 + r + 1, grid_n) * 180.0 / grid_n
+        pdisk = np.unique(
+            cells.cover_bbox(lon_lo, lat_lo, lon_hi, lat_hi, cells.PARTITION_RES)
+        ).tolist()
         return df.filter(
-            F.col("pcell").isin(pdisk) & F.col("cell").isin(disk.tolist())
+            F.col("pcell").isin(pdisk)
+            & (F.col("lon") >= lon_lo) & (F.col("lon") < lon_hi)
+            & (F.col("lat") >= lat_lo) & (F.col("lat") < lat_hi)
         )
 
     # initial ring sized for k assuming >= 1 row/cell (each doubling is a

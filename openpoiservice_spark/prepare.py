@@ -132,6 +132,10 @@ def prepare(spark: SparkSession, raw_path: str, prepared_dir: str,
         df.repartition(n_shuffle, F.col("pcell"), salt)
         .sortWithinPartitions("pcell", "cell")
         .write.mode("overwrite")
+        # the dominant column (`bytes`) holds already-compressed image
+        # payloads — a second codec pass on scan is pure CPU waste, so the
+        # data files are written uncompressed (metadata columns are small)
+        .option("compression", "uncompressed")
         .partitionBy("pcell")
         .parquet(data_path(prepared_dir))
     )
@@ -209,6 +213,7 @@ def merge(spark: SparkSession, prepared_dir: str, upserts_raw: DataFrame,
         merged.repartition(max(len(affected), 1), F.col("pcell"))
         .sortWithinPartitions("pcell", "cell")
         .write.mode("overwrite")
+        .option("compression", "uncompressed")
         .partitionBy("pcell")
         .parquet(data_path(prepared_dir))
     )

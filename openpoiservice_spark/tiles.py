@@ -102,44 +102,51 @@ _PIX_SCHEMA = T.StructType(
 
 def tile_pixel_stats(df: DataFrame, z: int) -> DataFrame:
     """Decode each image once and aggregate pixel intensities per overlapped
-    tile sub-rectangle.  mapInPandas: one Arrow batch in, the ≤4 tile rows
-    per image out; decode cost is the dominant term so the operator keeps
-    the whole batch in numpy."""
-    assigned = assign_tiles(
-        df.select("image_id", "bytes", "fmt", "lon", "lat", "w", "h"), z
-    )
+    tile sub-rectangle.
+
+    One mapInPandas over image rows: the binary column crosses the Arrow
+    boundary exactly once per image (tile spans are recomputed in numpy
+    inside the UDF rather than exploded beforehand — an upstream explode
+    would ship `bytes` up to 4x).  Output: <= 4 (z, tx, ty) rows per image.
+    """
+    src = df.select("image_id", "bytes", "fmt", "lon", "lat", "w", "h")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            out_rows = {k: [] for k in
-                        ("image_id", "z", "tx", "ty", "px_count", "sum_intensity", "mean_intensity")}
-            # decode each distinct image once per batch
-            for iid, grp in b.groupby("image_id", sort=False):
-                first = grp.iloc[0]
-                px = imaging.decode_image(first["bytes"], first["fmt"]).astype(np.float64)
-                inten = px.mean(axis=2)  # (h, w) mean over RGB
-                h_img, w_img = inten.shape
-                gx0, gy0 = int(first["gx0"]), int(first["gy0"])
-                for _, r in grp.iterrows():
-                    tx, ty = int(r["tx"]), int(r["ty"])
-                    # overlap of [gx0, gx0+w) with tile [tx*256, (tx+1)*256)
-                    x_lo = max(gx0, tx * 256) - gx0
-                    x_hi = min(gx0 + w_img, (tx + 1) * 256) - gx0
-                    y_lo = max(gy0, ty * 256) - gy0
-                    y_hi = min(gy0 + h_img, (ty + 1) * 256) - gy0
-                    sub = inten[y_lo:y_hi, x_lo:x_hi]
-                    out_rows["image_id"].append(iid)
-                    out_rows["z"].append(z)
-                    out_rows["tx"].append(tx)
-                    out_rows["ty"].append(ty)
-                    out_rows["px_count"].append(int(sub.size))
-                    out_rows["sum_intensity"].append(float(sub.sum()))
-                    out_rows["mean_intensity"].append(
-                        float(sub.mean()) if sub.size else 0.0
-                    )
-            yield pd.DataFrame(out_rows)
+            lon = b["lon"].to_numpy()
+            lat = b["lat"].to_numpy()
+            w = b["w"].to_numpy()
+            h = b["h"].to_numpy()
+            gx0, gy0, (txA, nxA, _txB, nxB), (tyA, nyA, _tyB, nyB) = (
+                imaging.raster_tile_spans(lon, lat, w, h, z)
+            )
+            ids = b["image_id"].to_numpy()
+            raws = b["bytes"].to_numpy()
+            fmts = b["fmt"].to_numpy()
+            out = {k: [] for k in
+                   ("image_id", "z", "tx", "ty", "px_count", "sum_intensity", "mean_intensity")}
+            for i in range(len(b)):
+                inten = imaging.decode_image(raws[i], fmts[i]).mean(axis=2, dtype=np.float64)
+                # column/row split indices inside the image
+                sx = int(nxA[i])
+                sy = int(nyA[i])
+                for tx, x_lo, x_hi in ((int(txA[i]), 0, sx), (int(txA[i]) + 1, sx, int(w[i]))):
+                    if x_lo >= x_hi:
+                        continue
+                    for ty, y_lo, y_hi in ((int(tyA[i]), 0, sy), (int(tyA[i]) + 1, sy, int(h[i]))):
+                        if y_lo >= y_hi:
+                            continue
+                        sub = inten[y_lo:y_hi, x_lo:x_hi]
+                        out["image_id"].append(ids[i])
+                        out["z"].append(z)
+                        out["tx"].append(tx)
+                        out["ty"].append(ty)
+                        out["px_count"].append(sub.size)
+                        out["sum_intensity"].append(float(sub.sum()))
+                        out["mean_intensity"].append(float(sub.mean()))
+            yield pd.DataFrame(out)
 
-    return assigned.mapInPandas(run, schema=_PIX_SCHEMA)
+    return src.mapInPandas(run, schema=_PIX_SCHEMA)
 
 
 def tile_histogram(df: DataFrame, z: int) -> DataFrame:
@@ -154,3 +161,70 @@ def tile_histogram(df: DataFrame, z: int) -> DataFrame:
             F.sum("px_count").alias("total_px"),
         )
     )
+
+
+_PYR_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("z", T.IntegerType()),
+        T.StructField("tx", T.LongType()),
+        T.StructField("ty", T.LongType()),
+        T.StructField("px_count", T.LongType()),
+        T.StructField("sum_intensity", T.DoubleType()),
+        T.StructField("std_lum", T.DoubleType()),
+        T.StructField("hist0", T.LongType()),
+    ]
+)
+
+
+def tile_pyramid_features(df: DataFrame, zooms: tuple[int, ...] = (10, 14)) -> DataFrame:
+    """Multi-zoom tile assignment + per-image features in ONE decode pass.
+
+    The production shape of the raster stage: a tile pyramid is built for
+    several zoom levels at once (decode dominates, so amortizing it across
+    zooms is the right batch layout), with per-image quality features
+    (luminance std, histogram) extracted from the same decoded array.
+    `bytes` crosses the Arrow boundary exactly once per image.
+    """
+    src = df.select("image_id", "bytes", "fmt", "lon", "lat", "w", "h")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            lon = b["lon"].to_numpy()
+            lat = b["lat"].to_numpy()
+            w = b["w"].to_numpy()
+            h = b["h"].to_numpy()
+            spans = {
+                z: imaging.raster_tile_spans(lon, lat, w, h, z) for z in zooms
+            }
+            ids = b["image_id"].to_numpy()
+            raws = b["bytes"].to_numpy()
+            fmts = b["fmt"].to_numpy()
+            out = {k: [] for k in ("image_id", "z", "tx", "ty", "px_count",
+                                   "sum_intensity", "std_lum", "hist0")}
+            for i in range(len(b)):
+                lum = imaging.decode_image(raws[i], fmts[i]).astype(np.float64).mean(axis=2)
+                std = float(lum.std())
+                hist, _ = np.histogram(lum, bins=8, range=(0.0, 256.0))
+                h0 = int(hist[0])
+                for z in zooms:
+                    _gx0, _gy0, (txA, nxA, _txB, _nxB), (tyA, nyA, _tyB, _nyB) = spans[z]
+                    sx, sy = int(nxA[i]), int(nyA[i])
+                    for tx, x_lo, x_hi in ((int(txA[i]), 0, sx), (int(txA[i]) + 1, sx, int(w[i]))):
+                        if x_lo >= x_hi:
+                            continue
+                        for ty, y_lo, y_hi in ((int(tyA[i]), 0, sy), (int(tyA[i]) + 1, sy, int(h[i]))):
+                            if y_lo >= y_hi:
+                                continue
+                            sub = lum[y_lo:y_hi, x_lo:x_hi]
+                            out["image_id"].append(ids[i])
+                            out["z"].append(z)
+                            out["tx"].append(tx)
+                            out["ty"].append(ty)
+                            out["px_count"].append(sub.size)
+                            out["sum_intensity"].append(float(sub.sum()))
+                            out["std_lum"].append(std)
+                            out["hist0"].append(h0)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, schema=_PYR_SCHEMA)

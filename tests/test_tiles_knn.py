@@ -126,3 +126,30 @@ def test_knn_far_from_data_expands(spark, fixture_paths):
     d = geo.haversine_m(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), lon0, lat0)
     brute = set(pdf.assign(d=d).nsmallest(3, "d")["osm_id"])
     assert {r.osm_id for r in got} == brute
+
+
+def test_tile_pyramid_features_consistency(spark, fixture_paths):
+    """Pyramid operator: per-zoom pixel conservation + features equal the
+    single-zoom operators' output."""
+    df = (
+        _pois(spark, fixture_paths)
+        .filter(F.col("osm_id").between(1001, 1033))
+        .select("image_id", "bytes", "fmt", "lon", "lat", "w", "h")
+    )
+    pyr = tiles.tile_pyramid_features(df, (10, 14)).toPandas()
+    base = df.select("image_id", "w", "h").toPandas()
+    for z in (10, 14):
+        got = pyr[pyr.z == z].groupby("image_id")["px_count"].sum()
+        for _, r in base.iterrows():
+            assert got[r["image_id"]] == r["w"] * r["h"]
+    # features match the dedicated decode oracle
+    import numpy as np
+
+    from openpoiservice_spark import imaging
+
+    one = pyr[pyr.image_id == "img-1-1001"].iloc[0]
+    regen, fmt = imaging.synth_pixels("img-1-1001")
+    lum = regen.astype(np.float64).mean(axis=2)
+    assert abs(one["std_lum"] - lum.std()) < 1e-9
+    hist, _ = np.histogram(lum, bins=8, range=(0.0, 256.0))
+    assert one["hist0"] == hist[0]
