@@ -173,6 +173,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def events_hourly(spark, sf):
+        # epoch parity with DuckDB requires UTC regardless of the caller's
+        # session defaults
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         e = spark.read.parquet(f"{sf}/events.parquet")
         return (
             e.groupBy(
@@ -187,6 +190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def events_sessions(spark, sf):
         from pyspark.sql import Window
 
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         e = spark.read.parquet(f"{sf}/events.parquet").select(
             "user_id", "event_id",
             F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG)").alias("t"),
@@ -198,6 +202,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             e.withColumn("brk", brk)
             .groupBy("user_id")
             .agg((F.sum("brk") + 1).alias("n_sessions"), F.count("*").alias("n_events"))
+        )
+
+    def tag_inheritance(spark, sf):
+        # J6 analogue (reference parse_osm.py:259-261,293-298): a way with
+        # no own tag inherits its relation's tag — broadcast left join +
+        # coalesce; here lineitem rows with a synthetically-missing flag
+        # inherit the parent order's priority.
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf}/orders.parquet")
+        own = F.expr("CASE WHEN l_linenumber % 3 = 0 THEN NULL ELSE l_returnflag END")
+        return (
+            li.join(F.broadcast(o.select("o_orderkey", "o_orderpriority")),
+                    li.l_orderkey == o.o_orderkey, "left")
+            .select(
+                F.expr(D.snip_pk()).alias("poi_id"),
+                F.coalesce(own, F.col("o_orderpriority")).alias("tag_value"),
+            )
         )
 
     def dedup_exact(spark, sf):
@@ -253,6 +274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top3_per_nation": top3,
         "events_hourly": events_hourly,
         "events_sessions": events_sessions,
+        "tag_inheritance": tag_inheritance,
         "dedup_exact": dedup_exact,
         "minhash_signatures": minhash_sigs,
         "lsh_candidate_pairs": lsh_pairs,
@@ -402,6 +424,12 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY user_id ORDER BY t, event_id), t) AS gap FROM e) "
             "SELECT user_id, CAST(sum(CASE WHEN gap > 1800 THEN 1 ELSE 0 END) + 1 AS BIGINT) "
             "AS n_sessions, count(*) AS n_events FROM l GROUP BY 1"
+        ),
+        "tag_inheritance": (
+            f"SELECT {D.snip_pk()} AS poi_id, "
+            "coalesce(CASE WHEN l_linenumber % 3 = 0 THEN NULL ELSE l_returnflag END, "
+            "o_orderpriority) AS tag_value "
+            "FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey"
         ),
         "dedup_exact": (
             "SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_id "
