@@ -211,9 +211,11 @@ class PoiEngine:
         stage asks for it."""
         cqs = [cq] if cq is not None else compile_geometry(payload["geometry"])
         cq = cqs[0]
+        # caption/bytes deliberately absent: the GeoJSON assembly never needs
+        # them, so they must not reach the scan's ReadSchema
         df = self._df.select(
             "image_id", "osm_type", "osm_id", "lon", "lat", "cell", "pcell",
-            "tags", "category_ids", "caption",
+            "tags", "category_ids",
         )
         df = self._prefilter(df, cq)
         refine = make_refine_udf(cq.refine_spec, cq.refine_buffer, cq.refine_bbox)
