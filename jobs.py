@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""spark-submit entry point (north_rule: jobs launch via
+`spark-submit --py-files` on multi-executor clusters).
+
+Package the library once and submit any stage:
+
+    zip -r opss.zip openpoiservice_spark
+    spark-submit --py-files opss.zip jobs.py prepare \
+        --raw s3://bucket/raw --prepared s3://bucket/prepared
+    spark-submit --py-files opss.zip jobs.py pois \
+        --prepared s3://bucket/prepared \
+        --payload '{"request":"pois","geometry":{"bbox":[[8.80,53.07],[8.81,53.08]]}}'
+    spark-submit --py-files opss.zip jobs.py tiles \
+        --prepared s3://bucket/prepared --zoom 14 --out s3://bucket/tiles
+
+Under spark-submit the session comes from the launcher; `getOrCreate`
+attaches to it and only fills in engine defaults that are unset.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="openpoiservice-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("prepare", help="run the import pipeline")
+    sp.add_argument("--raw", required=True)
+    sp.add_argument("--prepared", required=True)
+    sp.add_argument("--no-resume", action="store_true")
+
+    sq = sub.add_parser("pois", help="run a POI/stats request payload")
+    sq.add_argument("--prepared", required=True)
+    sq.add_argument("--payload", required=True, help="JSON request dict")
+
+    st = sub.add_parser("tiles", help="tile histogram over the prepared table")
+    st.add_argument("--prepared", required=True)
+    st.add_argument("--zoom", type=int, default=14)
+    st.add_argument("--out", default=None, help="optional parquet output path")
+
+    sm = sub.add_parser("stream", help="drain new raw files (availableNow)")
+    sm.add_argument("--raw-dir", required=True)
+    sm.add_argument("--prepared", required=True)
+    sm.add_argument("--checkpoint", required=True)
+
+    args = p.parse_args(argv)
+
+    from openpoiservice_spark.session import get_spark
+
+    spark = get_spark(app=f"opss-{args.cmd}")
+
+    if args.cmd == "prepare":
+        from openpoiservice_spark import prepare
+
+        stats = prepare.prepare(spark, args.raw, args.prepared,
+                                resume=not args.no_resume)
+        print(json.dumps(stats))
+    elif args.cmd == "pois":
+        from openpoiservice_spark.api import PoiEngine
+
+        out = PoiEngine(spark, args.prepared).request(json.loads(args.payload))
+        print(json.dumps(out))
+    elif args.cmd == "tiles":
+        from openpoiservice_spark import prepare, tiles
+
+        df = prepare.read_prepared(spark, args.prepared)
+        hist = tiles.tile_histogram(
+            df.select("image_id", "lon", "lat", "w", "h"), args.zoom
+        )
+        if args.out:
+            hist.write.mode("overwrite").parquet(args.out)
+            print(json.dumps({"tiles": hist.count(), "out": args.out}))
+        else:
+            print(json.dumps({"tiles": hist.count()}))
+    elif args.cmd == "stream":
+        from openpoiservice_spark import streaming
+
+        streaming.stream_prepare(spark, args.raw_dir, args.prepared, args.checkpoint)
+        print(json.dumps({"status": "drained"}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

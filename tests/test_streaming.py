@@ -45,3 +45,31 @@ def test_stream_prepare_incremental_and_exactly_once(spark, tmp_path):
                                                "coordinates": list(fixtures.POINT_P)},
                                    "buffer": 50}})
     assert len(fc["features"]) == fixtures.GOLDEN_COUNTS["point_buffer50"]
+
+
+def test_image_ops_resize_features_frames(spark, tmp_path):
+    """Multimodal operator plumbing: features, resize, frame-sample."""
+    import numpy as np
+
+    from openpoiservice_spark import imaging
+    from openpoiservice_spark.operators import images as IM
+
+    raw = str(tmp_path / "raw.parquet")
+    fixtures.build_sf_test(raw, n_filler=50)
+    df = spark.read.parquet(raw).limit(20)
+
+    feats = IM.image_features(df).collect()
+    assert len(feats) == 20
+    r = next(x for x in feats if x.image_id == "img-1-1001")
+    regen, _ = imaging.synth_pixels("img-1-1001")
+    assert abs(r.mean_r - regen[:, :, 0].mean()) < 1e-9
+    assert sum(r.hist) == regen.shape[0] * regen.shape[1]
+
+    small = IM.resize_images(df, 16).collect()
+    assert all(s.w == 16 and s.h == 16 and s.fmt == "png" for s in small)
+    decoded = imaging.decode_png(bytes(small[0].bytes))
+    assert decoded.shape == (16, 16, 3)
+
+    frames = IM.sample_frames(df, 4).collect()
+    assert len(frames) == 20  # image rows emit one frame each
+    assert all(f.frame_idx == 0 for f in frames)
