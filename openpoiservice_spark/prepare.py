@@ -121,11 +121,18 @@ def _salt_factors(spark: SparkSession, raw: DataFrame, skipped: set[int]):
             continue
         f = max(WRITE_SALT, -(-int(r["count"]) // SALT_TARGET_ROWS))
         factors[int(r.pcell)] = min(f, SALT_MAX)
-    expr = F.lit(WRITE_SALT)
-    for pc, f in factors.items():
-        if f != WRITE_SALT:
-            expr = F.when(F.col("pcell") == pc, F.lit(f)).otherwise(expr)
-    return expr
+    hot = {pc: f for pc, f in factors.items() if f != WRITE_SALT}
+    if not hot:
+        return F.lit(WRITE_SALT)
+    # single map-literal lookup, not nested CASE WHEN chains: a planet-scale
+    # table can have thousands of hot cells and per-cell whens would blow up
+    # expression-tree depth/codegen
+    entries = []
+    for pc, f in hot.items():
+        entries.extend([F.lit(int(pc)), F.lit(int(f))])
+    return F.coalesce(
+        F.element_at(F.create_map(*entries), F.col("pcell")), F.lit(WRITE_SALT)
+    )
 
 
 def prepare(spark: SparkSession, raw_path: str, prepared_dir: str,

@@ -244,3 +244,45 @@ def test_multipolygon_fan_out(engine):
     assert len(out[0]["features"]) == fixtures.GOLDEN_COUNTS["polygon"]
     assert out[1]["features"] == []
     assert all("information" in fc for fc in out)
+
+
+def test_row_for_row_parity_with_numpy_oracle(engine):
+    """Full row-level parity (not just counts): the flagship query's
+    features must match an independent numpy-oracle assembly exactly —
+    (osm_id, truncated coords, distance, category ids, whitelisted tags),
+    in distance order."""
+    import numpy as np
+
+    from openpoiservice_spark import geo, taxonomy
+    from openpoiservice_spark.captions import truncate6
+
+    fc = _pois(engine, {"geojson": {"type": "Point", "coordinates": P}, "buffer": 50},
+               sortby="distance")
+
+    from openpoiservice_spark.captions import decode_phash, encode_phash
+
+    rows = [r for r in fixtures.CURATED]
+    lon, lat = fixtures.local_to_lonlat([r[1] for r in rows], [r[2] for r in rows])
+    # the engine sees phash-quantized coordinates (1e-7 deg) — so must the oracle
+    lon, lat = decode_phash(encode_phash(lon, lat))
+    d = geo.haversine_m(lon, lat, P[0], P[1])
+    keep = d <= 50.0
+    order = np.argsort([(dd, r[0]) for dd, r in zip(d, rows)], axis=0)
+    expected = sorted(
+        [(rows[i][0], float(d[i]), float(lon[i]), float(lat[i]), rows[i][3])
+         for i in range(len(rows)) if keep[i]],
+        key=lambda t: (t[1], t[0]),
+    )
+    assert len(fc["features"]) == len(expected)
+    whitelist = set(taxonomy.TAG_WHITELIST)
+    for f, (oid, dist, lo, la, tags) in zip(fc["features"], expected):
+        p = f["properties"]
+        assert p["osm_id"] == oid
+        assert abs(p["distance"] - dist) < 1e-9
+        assert f["geometry"]["coordinates"] == [truncate6(lo), truncate6(la)]
+        assert set(p["category_ids"].keys()) == set(taxonomy.categories_of_tags(tags))
+        wl = {k: v for k, v in tags.items() if k in whitelist}
+        if wl:
+            assert p["osm_tags"] == wl
+        else:
+            assert "osm_tags" not in p
