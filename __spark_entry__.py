@@ -12,6 +12,11 @@ table; this file is the operator-level correctness gate.
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 import math
 from collections.abc import Callable
 
