@@ -169,6 +169,10 @@ def prepare(spark: SparkSession, raw_path: str, prepared_dir: str,
         df.repartition(n_shuffle, F.col("pcell"), salt)
         .sortWithinPartitions("pcell", "cell")
         .write.mode("overwrite")
+        # pinned at the writer: with the session default ('static') a resume
+        # re-run would wipe every committed pcell while recomputing none —
+        # correctness must not depend on session.get_spark() having run
+        .option("partitionOverwriteMode", "dynamic")
         # the dominant column (`bytes`) holds already-compressed image
         # payloads — a second codec pass on scan is pure CPU waste, so the
         # data files are written uncompressed (metadata columns are small)
@@ -217,8 +221,18 @@ def merge(spark: SparkSession, prepared_dir: str, upserts_raw: DataFrame,
     ups = derive(upserts_raw).cache()
     cur = read_prepared(spark, prepared_dir)
 
-    # affected partitions: pcells receiving upserts + pcells holding deletes
+    # affected partitions: pcells receiving upserts, pcells CURRENTLY holding
+    # the upserted PKs (an upsert may move a row across pcells — the old
+    # partition must be rewritten too or the stale row survives, breaking the
+    # PK contract of the reference's delete-then-reinsert,
+    # parse_osm.py:411-419), and pcells holding deletes
     up_pcells = {r.pcell for r in ups.select("pcell").distinct().collect()}
+    up_pcells |= {
+        r.pcell
+        for r in cur.join(F.broadcast(ups.select("osm_type", "osm_id")),
+                          ["osm_type", "osm_id"], "left_semi")
+        .select("pcell").distinct().collect()
+    }
     if delete_keys:
         del_df = spark.createDataFrame(delete_keys, "osm_type int, osm_id long")
         del_pcells = {
@@ -250,6 +264,7 @@ def merge(spark: SparkSession, prepared_dir: str, upserts_raw: DataFrame,
         merged.repartition(max(len(affected), 1), F.col("pcell"))
         .sortWithinPartitions("pcell", "cell")
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .option("compression", "uncompressed")
         .partitionBy("pcell")
         .parquet(data_path(prepared_dir))

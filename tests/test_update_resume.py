@@ -75,6 +75,47 @@ def test_merge_is_idempotent(spark, merge_env):
     assert len(after["features"]) == 38
 
 
+def test_merge_upsert_moving_across_pcells(spark, tmp_path_factory):
+    """An upsert whose new coordinates land in a DIFFERENT pcell must remove
+    the old row from its original partition (PK contract of the reference's
+    delete-then-reinsert, parse_osm.py:411-419)."""
+    import numpy as np
+    import pandas as pd
+
+    from openpoiservice_spark import captions, imaging
+
+    root = tmp_path_factory.mktemp("xpcell")
+    raw = str(root / "raw.parquet")
+    prepared = str(root / "prepared")
+    fixtures.build_sf_test(raw, n_filler=300)
+    prepare.prepare(spark, raw, prepared)
+
+    cur = prepare.read_prepared(spark, prepared)
+    row = cur.select("osm_type", "osm_id", "pcell").first()
+    # new location ~400 km east: guaranteed different res-7 pcell (~188 km wide here)
+    lon, lat = fixtures.local_to_lonlat([400_000.0], [0.0])
+    pixels, fmt = imaging.synth_pixels("img-moved")
+    ups = pd.DataFrame({
+        "image_id": ["img-moved"],
+        "bytes": [imaging.encode_image(pixels, fmt)],
+        "w": np.array([pixels.shape[1]], dtype=np.int32),
+        "h": np.array([pixels.shape[0]], dtype=np.int32),
+        "fmt": [fmt],
+        "caption": [captions.encode_caption(row.osm_type, row.osm_id, {"amenity": "cafe"})],
+        "phash": captions.encode_phash(lon, lat),
+    })
+    up_path = os.path.join(str(root), "ups.parquet")
+    pq.write_table(pa.Table.from_pandas(ups, preserve_index=False), up_path)
+    prepare.merge(spark, prepared, spark.read.parquet(up_path))
+
+    after = prepare.read_prepared(spark, prepared).filter(
+        (F.col("osm_type") == row.osm_type) & (F.col("osm_id") == row.osm_id)
+    ).select("pcell", "lon").collect()
+    assert len(after) == 1, "stale row left behind in the old pcell"
+    assert after[0].pcell != row.pcell
+    assert abs(after[0].lon - float(lon[0])) < 1e-6
+
+
 def test_resume_skips_committed_partitions(spark, tmp_path_factory):
     root = tmp_path_factory.mktemp("resume")
     raw = str(root / "raw.parquet")
