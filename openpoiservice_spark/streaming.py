@@ -4,9 +4,24 @@ The reference is strictly batch (SURVEY.md §2.9: import CLI + request/
 response); its closest analogue is the incremental re-import (S5/S6).  This
 module adds the Spark-native continuous form: new raw files landing in a
 directory are drained through the SAME derivation pipeline (prepare.derive —
-one code path for batch and streaming) into the prepared layout, with the
-streaming checkpoint providing exactly-once file-sink semantics (the
-streaming counterpart of the lineage-table resume).
+one code path for batch and streaming) into the prepared layout.
+
+Sink design: `foreachBatch` calling the plain batch parquet writer, NOT the
+Structured Streaming file sink.  The file sink plants a `_spark_metadata`
+directory inside the output path; once present, every batch
+`spark.read.parquet` of that path trusts only files listed in the sink's log,
+so batch-written files become invisible and a later batch dynamic-partition
+overwrite deletes files the log still references — the two ingest paths
+would silently corrupt each other.  With foreachBatch the prepared layout
+stays a plain parquet directory readable/writable by both paths.
+
+Delivery semantics: the streaming checkpoint makes each micro-batch
+at-least-once; replays are dropped by consulting the lineage table for the
+batch's fingerprint before writing (the standard idempotent-foreachBatch
+recipe).  The commit window (files written, lineage append lost to a crash)
+can duplicate one batch — a transactional table format (Iceberg/Delta)
+closes it on a real cluster; the lineage fingerprint keeps re-RUNS (the
+common case) exactly-once.
 
 `trigger(availableNow=True)` gives batch-drain semantics: each invocation
 processes everything new and stops — the cron-style operational shape of
@@ -16,7 +31,10 @@ idempotent out of the box.
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import prepare
@@ -34,6 +52,52 @@ RAW_SCHEMA = T.StructType(
 )
 
 
+def _batch_fingerprint(checkpoint_dir: str, batch_id: int) -> str:
+    return f"stream:{checkpoint_dir}:batch:{batch_id}"
+
+
+def _batch_already_committed(spark: SparkSession, prepared_dir: str, fp: str) -> bool:
+    lin = prepare.read_lineage(spark, prepared_dir)
+    if lin is None:
+        return False
+    return (
+        lin.filter((F.col("fingerprint") == fp) & (F.col("status") == "committed"))
+        .limit(1).count() > 0
+    )
+
+
+def _write_batch(batch_df: DataFrame, prepared_dir: str, fp: str) -> None:
+    t0 = time.time()
+    spark = batch_df.sparkSession
+    batch_df = batch_df.cache()
+    try:
+        stats = (
+            batch_df.groupBy("pcell")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum(F.length("caption")).alias("approx_bytes"))
+            .collect()
+        )
+        if not stats:
+            return
+        (
+            batch_df.sortWithinPartitions("pcell", "cell")
+            .write.mode("append")
+            .option("compression", "uncompressed")
+            .partitionBy("pcell")
+            .parquet(prepare.data_path(prepared_dir))
+        )
+        wall_ms = int((time.time() - t0) * 1000)
+        ts = time.time()
+        prepare._append_lineage(spark, prepared_dir, [
+            dict(run_id=fp[-12:], op="stream", fingerprint=fp, pcell=int(r.pcell),
+                 n_rows=int(r.n_rows), approx_bytes=int(r.approx_bytes or 0),
+                 wall_ms=wall_ms, status="committed", ts=ts)
+            for r in stats
+        ])
+    finally:
+        batch_df.unpersist()
+
+
 def stream_prepare(spark: SparkSession, raw_dir: str, prepared_dir: str,
                    checkpoint_dir: str, max_files_per_trigger: int | None = None):
     """Drain new raw files into the prepared table; returns the query after
@@ -43,11 +107,18 @@ def stream_prepare(spark: SparkSession, raw_dir: str, prepared_dir: str,
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     raw = reader.parquet(raw_dir)
     derived = prepare.derive(raw)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        fp = _batch_fingerprint(checkpoint_dir, batch_id)
+        # replay of an already-committed batch (checkpoint lost the ack):
+        # lineage says it landed — skip instead of duplicating
+        if _batch_already_committed(batch_df.sparkSession, prepared_dir, fp):
+            return
+        _write_batch(batch_df, prepared_dir, fp)
+
     q = (
-        derived.writeStream.format("parquet")
-        .option("path", prepare.data_path(prepared_dir))
+        derived.writeStream.foreachBatch(_sink)
         .option("checkpointLocation", checkpoint_dir)
-        .partitionBy("pcell")
         .trigger(availableNow=True)
         .start()
     )

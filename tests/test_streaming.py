@@ -47,6 +47,40 @@ def test_stream_prepare_incremental_and_exactly_once(spark, tmp_path):
     assert len(fc["features"]) == fixtures.GOLDEN_COUNTS["point_buffer50"]
 
 
+def test_stream_and_batch_share_one_prepared_layout(spark, tmp_path):
+    """Streaming must NOT plant a _spark_metadata log in the shared data dir:
+    batch-written files would become invisible to reads and later batch
+    overwrites would corrupt the sink log (round-1 ADVICE).  Batch rows and
+    streamed rows coexist; a batch resume re-run loses nothing."""
+    raw_batch = str(tmp_path / "raw_batch.parquet")
+    raw_dir = str(tmp_path / "raw_stream")
+    prepared = str(tmp_path / "prepared")
+    cp = str(tmp_path / "cp")
+    os.makedirs(raw_dir)
+
+    fixtures.build_sf_test(raw_batch, n_filler=200)
+    prepare.prepare(spark, raw_batch, prepared)
+    n_batch = prepare.read_prepared(spark, prepared).count()
+
+    chunk = fixtures.filler_frame(40, seed=99)
+    _write_chunk(chunk, os.path.join(raw_dir, "chunk0.parquet"))
+    streaming.stream_prepare(spark, raw_dir, prepared, cp)
+
+    data_dir = prepare.data_path(prepared)
+    assert not os.path.exists(os.path.join(data_dir, "_spark_metadata"))
+    n_all = prepare.read_prepared(spark, prepared).count()
+    assert n_all > n_batch  # streamed rows visible next to batch rows
+
+    # a batch resume re-run of the SAME input must be a no-op, not a wipe
+    s = prepare.prepare(spark, raw_batch, prepared)
+    assert s["pcells"] == 0 and s["skipped"] > 0
+    assert prepare.read_prepared(spark, prepared).count() == n_all
+
+    # streamed batches are recorded in lineage with op='stream'
+    lin = prepare.read_lineage(spark, prepared)
+    assert lin.filter(F.col("op") == "stream").count() > 0
+
+
 def test_image_ops_resize_features_frames(spark, tmp_path):
     """Multimodal operator plumbing: features, resize, frame-sample."""
     import numpy as np
