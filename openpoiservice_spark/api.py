@@ -75,14 +75,18 @@ def _parse_geojson(gj: dict) -> tuple[str, list]:
 def _admit(kind: str, spec: geo.GeomSpec, buffer_m: float) -> None:
     """Admission control (reference views.py:243-294, caps from
     ops_settings.yml:3-13).  The reference measures in EPSG:3857; the local
-    plane is equivalent at admitted scales."""
+    plane is equivalent at admitted scales.  Polygon AREA is checked by the
+    caller over the whole (Multi)Polygon at once — the reference measures
+    `shape(geojson).area` of the full geometry (views.py:262-268), so an
+    oversized MultiPolygon of small parts must still be rejected."""
+    if buffer_m < 0:
+        # reference schema: Range(min=0, ...) on buffer -> 4000 (views.py:35)
+        raise InvalidUsage("buffer must be >= 0", 4000)
     cap = config.MAXIMUM_SEARCH_RADIUS[kind]
     if buffer_m > cap:
         raise InvalidUsage(f"maximum buffer {cap} exceeded", 4008)
     if kind == "linestring" and spec.planar_length_m() > config.MAXIMUM_LINESTRING_LENGTH_M:
         raise InvalidUsage("Your linestring geometry is too long", 4005)
-    if kind == "polygon" and spec.planar_area_m2() > config.MAXIMUM_AREA_M2:
-        raise InvalidUsage("Your polygon geometry is too large", 4008)
 
 
 def compile_geometry(geometry: dict) -> list[CompiledQuery]:
@@ -110,9 +114,13 @@ def compile_geometry(geometry: dict) -> list[CompiledQuery]:
         _admit("polygon", bbox_spec, buffer_m)
         return [CompiledQuery(bbox_spec, buffer_m, None, bbox_spec)]
 
+    # note on 4004: the reference defaults buffer=0 BEFORE check_for_buffer
+    # runs (views.py:215 vs :244), so its "buffer missing" error is
+    # unreachable — a geojson request without 'buffer' is legal here too
     gtype, coords = _parse_geojson(geometry["geojson"])
     polys = coords if gtype == "MultiPolygon" else [coords]
     out = []
+    total_area = 0.0
     for poly in polys:
         if gtype == "Point":
             spec = geo.GeomSpec("point", [coords])
@@ -123,8 +131,12 @@ def compile_geometry(geometry: dict) -> list[CompiledQuery]:
         else:  # Polygon / each polygon of a MultiPolygon: outer ring
             spec = geo.GeomSpec("polygon", poly[0])
             _admit("polygon", spec, buffer_m)
+            total_area += spec.planar_area_m2()
         # P2 (geom ∩ bbox, query_builder.py:124-130) vs P3 (geom only, :132-138)
         out.append(CompiledQuery(spec, buffer_m, bbox_spec, spec))
+    # area of the WHOLE (Multi)Polygon, checked once (views.py:262-268)
+    if total_area > config.MAXIMUM_AREA_M2:
+        raise InvalidUsage("Your polygon geometry is too large", 4008)
     return out
 
 
@@ -224,6 +236,12 @@ class PoiEngine:
         dist = make_distance_udf(cq.distance_spec)
         df = df.withColumn("distance", dist(F.col("lon"), F.col("lat")))
 
+        limit = int(payload.get("limit", config.RESPONSE_LIMIT))
+        # reference schema: Range(min=1, max=response_limit) -> 4000
+        # (views.py:67-69)
+        if not 1 <= limit <= config.RESPONSE_LIMIT:
+            raise InvalidUsage("limit must be in [1, %d]" % config.RESPONSE_LIMIT, 4000)
+
         sortby = payload.get("sortby")
         if sortby == "distance":
             df = df.orderBy("distance", "osm_id")
@@ -234,12 +252,13 @@ class PoiEngine:
             # osm_id) so limited results are deterministic (superset of the
             # reference's guarantee, same row set)
             df = df.orderBy("distance", "osm_id")
-        limit = int(payload.get("limit", config.RESPONSE_LIMIT))
-        if limit > config.RESPONSE_LIMIT:
-            raise InvalidUsage("limit too large", 4000)
         # quirk Q1: the reference's assembly loop breaks after appending the
-        # (limit-1)-th feature (query_builder.py:259-261)
-        return df.limit(max(limit - 1, 0))
+        # (limit-1)-th feature (query_builder.py:259-261) — EXCEPT limit=1,
+        # whose break condition (q_idx == limit-2 == -1) never fires, so ALL
+        # features are returned
+        if limit == 1:
+            return df
+        return df.limit(limit - 1)
 
     # ------------------------------------------------------------ requests
 
@@ -255,7 +274,10 @@ class PoiEngine:
         if req == "stats":
             return self.stats(payload)
         cqs = compile_geometry(payload["geometry"])
-        if len(cqs) == 1:
+        # the reference branches on the geojson TYPE, not the part count
+        # (views.py:122-131): any MultiPolygon — even 1-part — yields a list
+        gj = (payload["geometry"] or {}).get("geojson") or {}
+        if gj.get("type") != "MultiPolygon":
             fc = self._feature_collection(payload, cqs[0])
             fc["information"] = self._query_info(payload)
             return fc

@@ -120,6 +120,66 @@ def test_limit_off_by_one_quirk(engine):
     assert len(fc["features"]) == 4
 
 
+def test_limit_one_returns_all_features(engine):
+    """Q1 boundary: the reference's break condition (q_idx == limit-2) never
+    fires for limit=1 — ALL features come back (round-1 ADVICE)."""
+    fc = _pois(engine, {"geojson": {"type": "Point", "coordinates": P}, "buffer": 50},
+               limit=1)
+    assert len(fc["features"]) == fixtures.GOLDEN_COUNTS["point_buffer50"]
+
+
+def test_limit_out_of_range_rejected(engine):
+    """Reference schema Range(min=1, max=response_limit) -> 4000."""
+    for bad in (0, -3, 5000):
+        with pytest.raises(InvalidUsage) as e:
+            _pois(engine, {"geojson": {"type": "Point", "coordinates": P},
+                           "buffer": 50}, limit=bad)
+        assert e.value.error_code == 4000
+
+
+def test_multipolygon_total_area_rejected(engine):
+    """An oversized MultiPolygon composed of small parts must be rejected:
+    the reference measures the area of the WHOLE geometry once
+    (views.py:262-268)."""
+    from openpoiservice_spark import config, geo
+
+    # each part ~0.6 * cap; two parts together exceed the 50 km^2 cap
+    side_m = (0.6 * config.MAXIMUM_AREA_M2) ** 0.5
+    dlat = side_m / geo.M_PER_DEG_LAT
+    dlon = dlat / 0.6  # cos(53 deg) ~ 0.6 — oversize to be safe
+    def part(lon0, lat0):
+        return [[[lon0, lat0], [lon0 + dlon, lat0], [lon0 + dlon, lat0 + dlat],
+                 [lon0, lat0 + dlat], [lon0, lat0]]]
+    mp = {"type": "MultiPolygon",
+          "coordinates": [part(P[0], P[1]), part(P[0] + 1.0, P[1])]}
+    with pytest.raises(InvalidUsage) as e:
+        _pois(engine, {"geojson": mp, "buffer": 0})
+    assert e.value.error_code == 4008
+    # a single part of the same size is fine
+    single = {"type": "MultiPolygon", "coordinates": [part(P[0], P[1])]}
+    fc = _pois(engine, {"geojson": single, "buffer": 0})
+    assert isinstance(fc, list) and len(fc) == 1
+
+
+def test_geojson_without_buffer_is_legal(engine):
+    """Reference parity: parse_geometries defaults buffer=0 BEFORE
+    check_for_buffer runs (views.py:215 vs :244) — 4004 is unreachable, so a
+    geojson request with no 'buffer' key succeeds with buffer 0."""
+    ring = [[P[0] - 0.003, P[1] - 0.002], [P[0] + 0.003, P[1] - 0.002],
+            [P[0] + 0.003, P[1] + 0.002], [P[0] - 0.003, P[1] + 0.002],
+            [P[0] - 0.003, P[1] - 0.002]]
+    fc = engine.request({"request": "pois",
+                         "geometry": {"geojson": {"type": "Polygon",
+                                                  "coordinates": [ring]}}})
+    assert fc["type"] == "FeatureCollection"
+
+
+def test_negative_buffer_rejected(engine):
+    with pytest.raises(InvalidUsage) as e:
+        _pois(engine, {"geojson": {"type": "Point", "coordinates": P}, "buffer": -5})
+    assert e.value.error_code == 4000
+
+
 def test_nocat_rows_dropped_at_import(engine):
     """NOCAT rows sit 30 m from P; if import failed to drop them the
     buffer-50 golden count would be 23, not 13 (reference parse_osm.py:347)."""
