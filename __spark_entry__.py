@@ -306,11 +306,18 @@ def _sql_shingles_cte() -> str:
 
 
 def _sql_minhash_cte() -> str:
+    # one md5 per shingle + k arithmetic permutations (a_i*h + b_i) mod p —
+    # mirrors operators/text.py:minhash_signatures term for term
+    a, b = TX.minhash_params(8)
+    p = TX.MINHASH_PRIME
     mins = ", ".join(
-        "min({h}) AS mh{i}".format(h=D.sql_h32(f"shingle || '#{i}'"), i=i)
-        for i in range(8)
+        f"min((h * {a[i]} + {b[i]}) % {p}) AS mh{i}" for i in range(8)
     )
-    return f"{_sql_shingles_cte()}, sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)"
+    return (
+        f"{_sql_shingles_cte()}, "
+        f"hh AS (SELECT doc_id, {D.sql_h32('shingle')} AS h FROM sh), "
+        f"sig AS (SELECT doc_id, {mins} FROM hh GROUP BY doc_id)"
+    )
 
 
 def _sql_banded_cte() -> str:
