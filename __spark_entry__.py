@@ -101,6 +101,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def pois_corridor(spark, sf):
         return _geo_query(spark, sf, G.GeomSpec("linestring", D.LINE_Q), D.CORRIDOR_M)
 
+    def pois_polygon_holes(spark, sf):
+        # donut: POIs inside the interior ring are excluded (PostGIS
+        # hole semantics, reference views.py:228-233)
+        ring = list(D.POLY_Q) + [D.POLY_Q[0]]
+        hole = list(D.HOLE_Q) + [D.HOLE_Q[0]]
+        return _geo_query(spark, sf, G.GeomSpec("polygon", ring, holes=[hole]), 0.0)
+
     def knn_100(spark, sf):
         # res 12 (~6 km cells) suits the derived view's regional density;
         # the prepared-table path uses the finer default res
@@ -268,6 +275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pois_radius": pois_radius,
         "pois_polygon": pois_polygon,
         "pois_corridor": pois_corridor,
+        "pois_polygon_holes": pois_polygon_holes,
         "knn_100": knn_100,
         "cells_hist_r12": cells_hist,
         "tiles_z14": tiles_z14,
@@ -378,6 +386,11 @@ def oracle_sql() -> dict[str, str]:
         "pois_radius": f"{_POI} SELECT poi_id, lon, lat FROM poi WHERE {hav} <= {float(D.RADIUS_Q)!r}",
         "pois_polygon": f"{_POI} SELECT poi_id, lon, lat FROM poi WHERE {D.sql_polygon_pred('lon', 'lat')}",
         "pois_corridor": f"{_POI} SELECT poi_id, lon, lat FROM poi WHERE {D.sql_corridor_pred('lon', 'lat')}",
+        "pois_polygon_holes": (
+            f"{_POI} SELECT poi_id, lon, lat FROM poi WHERE "
+            f"{D.sql_polygon_pred('lon', 'lat')} "
+            f"AND NOT {D.sql_polygon_pred('lon', 'lat', ring=D.HOLE_Q)}"
+        ),
         "knn_100": f"{_POI} SELECT poi_id FROM poi ORDER BY {hav} ASC, poi_id LIMIT 100",
         "cells_hist_r12": (
             f"{_POI} SELECT {D.sql_cell('lon', 'lat', _GEO_RES)} AS cell, count(*) AS n "

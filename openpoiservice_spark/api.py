@@ -128,8 +128,10 @@ def compile_geometry(geometry: dict) -> list[CompiledQuery]:
         elif gtype == "LineString":
             spec = geo.GeomSpec("linestring", coords)
             _admit("linestring", spec, buffer_m)
-        else:  # Polygon / each polygon of a MultiPolygon: outer ring
-            spec = geo.GeomSpec("polygon", poly[0])
+        else:  # Polygon / each polygon of a MultiPolygon: all rings —
+            # interior rings are holes (reference views.py:228-233 parses
+            # through shapely shape(), which preserves them)
+            spec = geo.GeomSpec("polygon", poly[0], holes=poly[1:])
             _admit("polygon", spec, buffer_m)
             total_area += spec.planar_area_m2()
         # P2 (geom ∩ bbox, query_builder.py:124-130) vs P3 (geom only, :132-138)

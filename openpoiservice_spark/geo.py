@@ -119,17 +119,36 @@ def point_in_ring(px, py, ring_xy: np.ndarray):
     return (crossings.sum(axis=1) % 2).astype(bool)
 
 
+def _closed(xy: np.ndarray) -> np.ndarray:
+    """Ring with an explicit closing edge (appended if missing)."""
+    if not np.array_equal(xy[0], xy[-1]):
+        return np.vstack([xy, xy[:1]])
+    return xy
+
+
+def _shoelace_m2(xy: np.ndarray) -> float:
+    xy = _closed(xy)
+    x, y = xy[:-1, 0], xy[:-1, 1]
+    x2, y2 = xy[1:, 0], xy[1:, 1]
+    return float(abs(0.5 * np.sum(x * y2 - x2 * y)))
+
+
 class GeomSpec:
     """A compiled query geometry: the engine's shapely-free analogue of the
     reference's parsed GeoJSON (reference views.py:219-241).
 
     kind: 'point' | 'linestring' | 'polygon'
-    coords: (M, 2) lon/lat array (polygon = outer ring; holes unsupported,
-            matching the reference tests which use simple rings).
-    The local plane is centred on the coords centroid.
+    coords: (M, 2) lon/lat array (polygon = outer ring).
+    holes: optional interior rings (polygon only) — the reference parses
+           GeoJSON through shapely shape() which preserves holes
+           (views.py:228-233), and PostGIS ST_DWithin excludes hole
+           interiors; membership/distance here match that: a point inside a
+           hole is OUTSIDE the polygon, its distance is the distance to the
+           nearest ring (outer or hole boundary).
+    The local plane is centred on the outer coords centroid.
     """
 
-    def __init__(self, kind: str, coords):
+    def __init__(self, kind: str, coords, holes=None):
         self.kind = kind
         self.coords = np.asarray(coords, dtype=np.float64).reshape(-1, 2)
         self.lon0 = float(self.coords[:, 0].mean())
@@ -137,6 +156,13 @@ class GeomSpec:
         self._xy = np.column_stack(
             local_xy(self.coords[:, 0], self.coords[:, 1], self.lon0, self.lat0)
         )
+        if holes and kind != "polygon":
+            raise ValueError("holes are only valid for polygon geometry")
+        self.holes = [np.asarray(h, dtype=np.float64).reshape(-1, 2) for h in (holes or [])]
+        self._holes_xy = [
+            _closed(np.column_stack(local_xy(h[:, 0], h[:, 1], self.lon0, self.lat0)))
+            for h in self.holes
+        ]
 
     def distance_m(self, lon, lat):
         """Vectorized distance (m) from query points to this geometry.
@@ -155,6 +181,11 @@ class GeomSpec:
         if self.kind == "polygon":
             d = dist_to_segments_m(px, py, self._xy)
             inside = point_in_ring(px, py, self._xy)
+            for hxy in self._holes_xy:
+                # hole boundary is part of the polygon boundary; hole
+                # interior is outside the polygon (PostGIS semantics)
+                d = np.minimum(d, dist_to_segments_m(px, py, hxy))
+                inside &= ~point_in_ring(px, py, hxy)
             return np.where(inside, 0.0, d)
         raise ValueError(f"unknown geometry kind: {self.kind}")
 
@@ -185,13 +216,12 @@ class GeomSpec:
         return float(np.sqrt((d**2).sum(axis=1)).sum())
 
     def planar_area_m2(self) -> float:
-        """Shoelace ring area in the local plane (reference views.py:277-294)."""
-        xy = self._xy
-        if not np.array_equal(xy[0], xy[-1]):
-            xy = np.vstack([xy, xy[:1]])
-        x, y = xy[:-1, 0], xy[:-1, 1]
-        x2, y2 = xy[1:, 0], xy[1:, 1]
-        return float(abs(0.5 * np.sum(x * y2 - x2 * y)))
+        """Shoelace ring area in the local plane, holes subtracted — shapely
+        `.area` semantics (reference views.py:277-294)."""
+        area = _shoelace_m2(self._xy)
+        for hxy in self._holes_xy:
+            area -= _shoelace_m2(hxy)
+        return max(area, 0.0)
 
 
 def bbox_spec(min_lon: float, min_lat: float, max_lon: float, max_lat: float) -> GeomSpec:

@@ -51,6 +51,36 @@ def test_geomspec_polygon_distance_zero_inside():
     assert d_out[0] > 500
 
 
+def test_geomspec_polygon_with_hole():
+    """PostGIS semantics: a point inside a hole is OUTSIDE the polygon and
+    its distance is the distance to the nearest ring boundary."""
+    ring = [[8.80, 53.07], [8.82, 53.07], [8.82, 53.09], [8.80, 53.09], [8.80, 53.07]]
+    hole = [[8.807, 53.077], [8.813, 53.077], [8.813, 53.083], [8.807, 53.083],
+            [8.807, 53.077]]
+    g = geo.GeomSpec("polygon", ring, holes=[hole])
+    # centre of the hole: excluded, distance = dist to hole boundary (> 0)
+    d_hole = g.distance_m([8.810], [53.080])
+    assert d_hole[0] > 100  # hole is ~600 m wide -> centre ~200+ m from edge
+    assert not g.within_m([8.810], [53.080], 0.0)[0]
+    # ...but within a 400 m buffer of the polygon (hole boundary is boundary)
+    assert g.within_m([8.810], [53.080], 400.0)[0]
+    # between the rings: inside, distance 0
+    assert g.distance_m([8.802], [53.071])[0] == 0.0
+    # outside the outer ring: unchanged by the hole
+    assert g.distance_m([8.83], [53.080])[0] > 500
+    # area subtracts the hole (shapely .area semantics)
+    no_hole = geo.GeomSpec("polygon", ring)
+    assert g.planar_area_m2() < no_hole.planar_area_m2()
+    # rtol: the standalone hole projects in ITS OWN local plane (different
+    # cos(lat0) scale than the donut's outer-centroid plane)
+    approx_hole = geo.GeomSpec("polygon", hole).planar_area_m2()
+    assert np.isclose(no_hole.planar_area_m2() - g.planar_area_m2(), approx_hole,
+                      rtol=1e-3)
+    # holes rejected on non-polygon kinds
+    with pytest.raises(ValueError):
+        geo.GeomSpec("linestring", ring, holes=[hole])
+
+
 def test_geomspec_point_matches_haversine():
     g = geo.GeomSpec("point", [[8.8075, 53.0753]])
     d = g.distance_m([8.81], [53.08])

@@ -180,6 +180,27 @@ def test_negative_buffer_rejected(engine):
     assert e.value.error_code == 4000
 
 
+def test_polygon_hole_excludes_interior_pois(engine):
+    """Donut request: POIs inside the interior ring must be excluded —
+    set(donut) == set(outer) - set(hole-as-polygon) (reference parses holes
+    through shapely shape(), views.py:228-233)."""
+    def ring(half_m):
+        xs = [-half_m, half_m, half_m, -half_m, -half_m]
+        ys = [-half_m, -half_m, half_m, half_m, -half_m]
+        lon, lat = fixtures.local_to_lonlat(xs, ys)
+        return [[float(a), float(b)] for a, b in zip(lon, lat)]
+
+    outer, hole = ring(300.0), ring(60.0)
+    ids = {}
+    for name, coords in (("outer", [outer]), ("hole", [hole]),
+                         ("donut", [outer, hole])):
+        fc = _pois(engine, {"geojson": {"type": "Polygon", "coordinates": coords},
+                            "buffer": 0})
+        ids[name] = {f["properties"]["osm_id"] for f in fc["features"]}
+    assert ids["hole"], "fixture must place POIs inside the hole"
+    assert ids["donut"] == ids["outer"] - ids["hole"]
+
+
 def test_nocat_rows_dropped_at_import(engine):
     """NOCAT rows sit 30 m from P; if import failed to drop them the
     buffer-50 golden count would be 23, not 13 (reference parse_osm.py:347)."""
