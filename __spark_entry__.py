@@ -68,6 +68,8 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _QVEC = ANN.query_vector(64, seed=7)
 _PLANES = ANN.hyperplanes(8, 64, seed=13)
+#: request filter for the Q2 category-restriction gate query
+_RESTRICT_IDS = sorted({cat for _, _, cat, _ in D.POOL})[:6]
 
 
 # --------------------------------------------------------------- entry
@@ -107,6 +109,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ring = list(D.POLY_Q) + [D.POLY_Q[0]]
         hole = list(D.HOLE_Q) + [D.HOLE_Q[0]]
         return _geo_query(spark, sf, G.GeomSpec("polygon", ring, holes=[hole]), 0.0)
+
+    def pois_sorted_limit(spark, sf):
+        # quirk Q1 under the oracle: ORDER BY (exact planar d2, poi_id)
+        # through the engine's apply_limit_quirk -> limit-1 rows.  The sort
+        # key is *,+,- arithmetic only (derive.sql_planar_d2) so the cutoff
+        # row is bit-deterministic across engines.
+        from openpoiservice_spark.api import apply_limit_quirk
+
+        d2 = D.sql_planar_d2("lon", "lat", D.POINT_Q[0], D.POINT_Q[1])
+        view = D.spark_poi_view(spark, sf)
+        df = (
+            view.filter(F.expr(D.sql_bbox_pred("lon", "lat")))
+            .select("poi_id", F.expr(d2).alias("d2"))
+            .orderBy("d2", "poi_id")
+        )
+        return apply_limit_quirk(df, 200)  # reference limit=200 -> 199 rows
+
+    def pois_sortby_category(spark, sf):
+        # O2 sortby=category + Q1 limit, oracle-gated (reference
+        # query_builder.py:88-89,103): category ascending, poi_id tiebreak
+        from openpoiservice_spark.api import apply_limit_quirk
+
+        view = D.spark_poi_view(spark, sf)
+        df = (
+            view.filter(F.expr(D.sql_bbox_pred("lon", "lat")))
+            .select("poi_id", "cat")
+            .orderBy("cat", "poi_id")
+        )
+        return apply_limit_quirk(df, 500)
+
+    def pois_category_restrict(spark, sf):
+        # quirk Q2 under the oracle: the output category array keeps ONLY the
+        # ids matching the request filter (reference query_builder.py:46-53);
+        # a second synthetic category makes the restriction observable
+        view = D.spark_poi_view(spark, sf)
+        cat2 = D.snip_cat("(poi_id + 17)")
+        ids = ", ".join(str(i) for i in _RESTRICT_IDS)
+        kept = (
+            f"filter(array(cat, {cat2}), x -> x IN ({ids}))"
+        )
+        return (
+            view.filter(F.expr(D.sql_bbox_pred("lon", "lat")))
+            .withColumn("kept", F.expr(kept))
+            .filter(F.size("kept") > 0)
+            .select(
+                "poi_id",
+                F.expr(
+                    "concat_ws(',', transform(kept, x -> CAST(x AS STRING)))"
+                ).alias("matched_cats"),
+            )
+        )
 
     def knn_100(spark, sf):
         # res 12 (~6 km cells) suits the derived view's regional density;
@@ -276,6 +329,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pois_polygon": pois_polygon,
         "pois_corridor": pois_corridor,
         "pois_polygon_holes": pois_polygon_holes,
+        "pois_sorted_limit": pois_sorted_limit,
+        "pois_sortby_category": pois_sortby_category,
+        "pois_category_restrict": pois_category_restrict,
         "knn_100": knn_100,
         "cells_hist_r12": cells_hist,
         "tiles_z14": tiles_z14,
@@ -392,6 +448,17 @@ def oracle_sql() -> dict[str, str]:
             f"AND NOT {D.sql_polygon_pred('lon', 'lat', ring=D.HOLE_Q)}"
         ),
         "knn_100": f"{_POI} SELECT poi_id FROM poi ORDER BY {hav} ASC, poi_id LIMIT 100",
+        "pois_sorted_limit": (
+            f"{_POI} SELECT poi_id, "
+            f"{D.sql_planar_d2('lon', 'lat', D.POINT_Q[0], D.POINT_Q[1])} AS d2 "
+            f"FROM poi WHERE {D.sql_bbox_pred('lon', 'lat')} "
+            "ORDER BY d2, poi_id LIMIT 199"
+        ),
+        "pois_sortby_category": (
+            f"{_POI} SELECT poi_id, cat FROM poi "
+            f"WHERE {D.sql_bbox_pred('lon', 'lat')} ORDER BY cat, poi_id LIMIT 499"
+        ),
+        "pois_category_restrict": _sql_category_restrict(),
         "cells_hist_r12": (
             f"{_POI} SELECT {D.sql_cell('lon', 'lat', _GEO_RES)} AS cell, count(*) AS n "
             "FROM poi GROUP BY 1"
@@ -499,6 +566,18 @@ def oracle_sql() -> dict[str, str]:
         "ann_pairs": _sql_ann_pairs(),
     }
     return out
+
+
+def _sql_category_restrict() -> str:
+    cat2 = D.snip_cat("(poi_id + 17)")
+    ids = ", ".join(str(i) for i in _RESTRICT_IDS)
+    kept = f"list_filter([cat, {cat2}], x -> x IN ({ids}))"
+    return (
+        f"{_POI} SELECT poi_id, "
+        f"array_to_string(list_transform({kept}, x -> CAST(x AS VARCHAR)), ',') "
+        "AS matched_cats "
+        f"FROM poi WHERE {D.sql_bbox_pred('lon', 'lat')} AND len({kept}) > 0"
+    )
 
 
 def _sql_simhash(bits: int = 16) -> str:

@@ -58,6 +58,19 @@ class CompiledQuery:
 _SUPPORTED = {"Point", "LineString", "Polygon", "MultiPolygon"}
 
 
+def apply_limit_quirk(df: DataFrame, limit: int) -> DataFrame:
+    """Quirk Q1 (shared by PoiEngine and the correctness gate): the
+    reference's assembly loop breaks after appending the (limit-1)-th
+    feature (query_builder.py:259-261) — EXCEPT limit=1, whose break
+    condition (q_idx == limit-2 == -1) never fires, returning ALL features.
+    Out-of-range limits fail schema validation (views.py:67-69)."""
+    if not 1 <= limit <= config.RESPONSE_LIMIT:
+        raise InvalidUsage("limit must be in [1, %d]" % config.RESPONSE_LIMIT, 4000)
+    if limit == 1:
+        return df
+    return df.limit(limit - 1)
+
+
 def _parse_geojson(gj: dict) -> tuple[str, list]:
     if not isinstance(gj, dict) or "type" not in gj:
         raise InvalidUsage("geojson type missing", 4000)
@@ -239,10 +252,6 @@ class PoiEngine:
         df = df.withColumn("distance", dist(F.col("lon"), F.col("lat")))
 
         limit = int(payload.get("limit", config.RESPONSE_LIMIT))
-        # reference schema: Range(min=1, max=response_limit) -> 4000
-        # (views.py:67-69)
-        if not 1 <= limit <= config.RESPONSE_LIMIT:
-            raise InvalidUsage("limit must be in [1, %d]" % config.RESPONSE_LIMIT, 4000)
 
         sortby = payload.get("sortby")
         if sortby == "distance":
@@ -254,13 +263,7 @@ class PoiEngine:
             # osm_id) so limited results are deterministic (superset of the
             # reference's guarantee, same row set)
             df = df.orderBy("distance", "osm_id")
-        # quirk Q1: the reference's assembly loop breaks after appending the
-        # (limit-1)-th feature (query_builder.py:259-261) — EXCEPT limit=1,
-        # whose break condition (q_idx == limit-2 == -1) never fires, so ALL
-        # features are returned
-        if limit == 1:
-            return df
-        return df.limit(limit - 1)
+        return apply_limit_quirk(df, limit)
 
     # ------------------------------------------------------------ requests
 

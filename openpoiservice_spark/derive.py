@@ -158,6 +158,15 @@ def sql_local_xy(lon: str, lat: str, lon0: float, lat0: float) -> tuple[str, str
     return x, y
 
 
+def sql_planar_d2(lon: str, lat: str, lon0: float, lat0: float) -> str:
+    """Squared planar distance to a fixed point — ONLY *,+,- on doubles with
+    numpy-inlined constants, so it is bit-identical across engines and safe
+    as an ORDER BY key under LIMIT (a 1-ulp libm drift in a transcendental
+    sort key could flip which row survives the cutoff)."""
+    x, y = sql_local_xy(lon, lat, lon0, lat0)
+    return f"({x} * {x} + {y} * {y})"
+
+
 def sql_point_seg_dist2(px: str, py: str, ax: float, ay: float, bx: float, by: float) -> str:
     """Squared planar distance from (px,py) to segment (a,b) with clamped
     projection — mirrors geo.dist_to_segments_m."""
