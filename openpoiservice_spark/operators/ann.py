@@ -105,12 +105,33 @@ def lsh_topk(emb: DataFrame, qvec, k: int = 10, planes: np.ndarray | None = None
     )
 
 
+def bucket_stats(emb: DataFrame, planes: np.ndarray | None = None) -> DataFrame:
+    """(bucket, n_vecs) histogram — pair with `max_bucket` to route
+    degenerate buckets (e.g. all-zero embeddings) off the quadratic path."""
+    planes = hyperplanes() if planes is None else planes
+    return emb.groupBy(bucket_col(F.col("embedding"), planes).alias("bucket")) \
+              .agg(F.count("*").alias("n_vecs"))
+
+
 def cosine_pairs(emb: DataFrame, threshold: float = 0.9,
-                 planes: np.ndarray | None = None) -> DataFrame:
-    """Embedding near-dup pairs: bucket self-join + exact cosine filter."""
+                 planes: np.ndarray | None = None,
+                 max_bucket: int | None = None) -> DataFrame:
+    """Embedding near-dup pairs: bucket self-join + exact cosine filter.
+
+    max_bucket: skew guard (same contract as text.lsh_candidate_pairs) — a
+    degenerate bucket makes the self-join quadratic in that bucket at scale;
+    buckets above the cap are excluded from pairing (detect them with
+    bucket_stats and handle via exact grouping).  None = no cap."""
     planes = hyperplanes() if planes is None else planes
     b = emb.withColumn("bucket", bucket_col(F.col("embedding"), planes)) \
            .select("vec_id", "bucket", "embedding")
+    if max_bucket is not None:
+        ok = (
+            b.groupBy("bucket").agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select("bucket")
+        )
+        b = b.join(ok, "bucket")
     l, r = b.alias("l"), b.alias("r")
     pairs = l.join(
         r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.vec_id") < F.col("r.vec_id"))

@@ -83,9 +83,8 @@ def minhash_signatures(docs: DataFrame, k: int = 8, n: int = 5) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(docs: DataFrame, k: int = 8, bands: int = 2, n: int = 5) -> DataFrame:
-    """Band the signatures and self-join on (band, band_hash): docs agreeing
-    on any band become a candidate pair (doc_a < doc_b)."""
+def _banded(docs: DataFrame, k: int, bands: int, n: int) -> DataFrame:
+    """(doc_id, band, bhash) — each doc exploded into its LSH band keys."""
     sig = minhash_signatures(docs, k, n)
     rows_per_band = k // bands
     band_cols = []
@@ -93,8 +92,39 @@ def lsh_candidate_pairs(docs: DataFrame, k: int = 8, bands: int = 2, n: int = 5)
         parts = [F.col(f"mh{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
         band_cols.append(F.struct(F.lit(b).alias("band"),
                                   F.md5(F.concat_ws("_", *parts)).alias("bhash")))
-    banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bb")) \
-                .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
+    return sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bb")) \
+              .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
+
+
+def lsh_bucket_stats(docs: DataFrame, k: int = 8, bands: int = 2, n: int = 5) -> DataFrame:
+    """(band, bhash, n_docs) histogram — the observability companion of
+    `max_bucket`: route oversized buckets to exact_dedup / sampling instead
+    of silently paying their quadratic pair expansion."""
+    return _banded(docs, k, bands, n).groupBy("band", "bhash") \
+                                     .agg(F.count("*").alias("n_docs"))
+
+
+def lsh_candidate_pairs(docs: DataFrame, k: int = 8, bands: int = 2, n: int = 5,
+                        max_bucket: int | None = None) -> DataFrame:
+    """Band the signatures and self-join on (band, band_hash): docs agreeing
+    on any band become a candidate pair (doc_a < doc_b).
+
+    max_bucket: skew guard for the 100 TB design point.  A degenerate bucket
+    (boilerplate cluster: every doc identical) makes the self-join quadratic
+    IN THAT BUCKET; buckets larger than max_bucket are excluded from pairing
+    (their membership is boilerplate near-dup by construction — handle them
+    via exact_dedup / lsh_bucket_stats, which is O(n), not O(n^2)).  The
+    count filter is one extra partial-agg on the same (band, bhash) shuffle
+    keys the join needs anyway.  None = no cap (the correctness-gate
+    configuration on bounded fixtures)."""
+    banded = _banded(docs, k, bands, n)
+    if max_bucket is not None:
+        ok = (
+            banded.groupBy("band", "bhash").agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select("band", "bhash")
+        )
+        banded = banded.join(ok, ["band", "bhash"])
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -108,10 +138,11 @@ def lsh_candidate_pairs(docs: DataFrame, k: int = 8, bands: int = 2, n: int = 5)
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.2, n: int = 5,
-                        k: int = 8, bands: int = 2) -> DataFrame:
+                        k: int = 8, bands: int = 2,
+                        max_bucket: int | None = None) -> DataFrame:
     """Near-duplicate pairs with exact n-gram Jaccard >= threshold, computed
     only for LSH candidate pairs (verification join, not O(n^2))."""
-    cand = lsh_candidate_pairs(docs, k, bands, n)
+    cand = lsh_candidate_pairs(docs, k, bands, n, max_bucket)
     sh = shingles(docs, n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (

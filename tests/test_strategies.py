@@ -71,3 +71,53 @@ def test_salting_invariance(spark, tmp_path, monkeypatch):
                       "geometry": {"geojson": {"type": "Point", "coordinates": P},
                                    "buffer": 50}})
     assert len(fc["features"]) == fixtures.GOLDEN_COUNTS["point_buffer50"]
+
+
+def test_lsh_bucket_cap_defuses_degenerate_bucket(spark):
+    """Skew guard: 2000 identical docs form one degenerate LSH bucket whose
+    self-join would be quadratic (~2M pairs).  With max_bucket set, the
+    bucket is excluded from pairing while pairs among normal docs are
+    unchanged; bucket stats expose what was routed away."""
+    from openpoiservice_spark.operators import text as TX
+
+    rows = [(i, "all work and no play makes jack a dull boy " * 3)
+            for i in range(2000)]
+    rows += [(10_000 + i, f"unique document number {i} with words {i * 7} and {i * 13}")
+             for i in range(30)]
+    # two exact near-dups among the normal docs
+    rows += [(20_001, rows[-1][1]), (20_002, rows[-2][1])]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = TX.lsh_candidate_pairs(docs, max_bucket=100).collect()
+    assert 0 < len(capped) < 1000  # no quadratic blowup in the result
+    ids = {d for p in capped for d in (p.doc_a, p.doc_b)}
+    assert not any(i < 2000 for i in ids)  # degenerate bucket excluded
+    assert (20_000, 20_001) not in capped  # sanity: pair orientation below
+    assert any({p.doc_a, p.doc_b} == {10_029, 20_001} for p in capped)
+
+    stats = TX.lsh_bucket_stats(docs).filter("n_docs > 100").collect()
+    assert stats and max(s.n_docs for s in stats) == 2000
+
+
+def test_ann_bucket_cap(spark):
+    """Same guard on the embedding side: a degenerate bucket (identical
+    vectors) is excluded from cosine_pairs when capped."""
+    from openpoiservice_spark.operators import ann as ANN
+
+    base = np.ones(8)
+    rng = np.random.default_rng(3)
+    rows = [(i, (base + 0.0).tolist()) for i in range(500)]
+    rows += [(1000 + i, rng.normal(size=8).tolist()) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planes = ANN.hyperplanes(6, 8, seed=2)
+
+    capped = ANN.cosine_pairs(emb, 0.0, planes, max_bucket=50).collect()
+    ids = {v for p in capped for v in (p.vec_a, p.vec_b)}
+    assert not any(i < 500 for i in ids)
+    uncapped_small = ANN.cosine_pairs(
+        emb.filter("vec_id >= 1000"), 0.0, planes).collect()
+    small_pairs = {(p.vec_a, p.vec_b) for p in uncapped_small}
+    assert {(p.vec_a, p.vec_b) for p in capped} <= small_pairs
+
+    stats = ANN.bucket_stats(emb, planes).collect()
+    assert max(s.n_vecs for s in stats) >= 500
