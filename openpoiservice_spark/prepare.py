@@ -34,7 +34,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import cells, config
-from .functions import cell_expr, cell_parent_expr, lonlat_from_phash, parse_caption_udf
+from .functions import (caption_attrs_columns, cell_expr, cell_parent_expr,
+                        lonlat_from_phash)
 
 RAW_COLUMNS = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
 ROW_RES = cells.DEFAULT_RES
@@ -56,13 +57,13 @@ def derive(raw: DataFrame) -> DataFrame:
     unread (SURVEY.md §7: binary payload discipline)."""
     lon, lat = lonlat_from_phash()
     df = raw.withColumns({"lon": lon, "lat": lat})
-    df = df.withColumn("attrs", parse_caption_udf(F.col("caption")))
+    # caption parse + taxonomy lookup as NATIVE expressions (functions.
+    # caption_attrs_columns): the import hot loop has ZERO Python — the
+    # round-1 pandas UDF cost ~6 us/row of per-row Python
+    df = df.withColumns(caption_attrs_columns())
     df = df.select(
         "image_id", "bytes", "w", "h", "fmt", "caption", "phash", "lon", "lat",
-        F.col("attrs.osm_type").alias("osm_type"),
-        F.col("attrs.osm_id").alias("osm_id"),
-        F.col("attrs.tags").alias("tags"),
-        F.col("attrs.category_ids").alias("category_ids"),
+        "osm_type", "osm_id", "tags", "category_ids",
     )
     # reference drops POIs that map to no category (parse_osm.py:347)
     df = df.filter(F.size("category_ids") > 0)

@@ -33,6 +33,10 @@ def get_spark(app: str = "openpoiservice-spark", master: str | None = None,
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # duplicate tag keys in a caption resolve last-wins (= Python dict
+        # semantics of the reference parse); default EXCEPTION would fail the
+        # whole import on one malformed row
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.driver.extraJavaOptions", "-XX:MaxDirectMemorySize=16g")

@@ -107,3 +107,36 @@ def test_image_ops_resize_features_frames(spark, tmp_path):
     frames = IM.sample_frames(df, 4).collect()
     assert len(frames) == 20  # image rows emit one frame each
     assert all(f.frame_idx == 0 for f in frames)
+
+
+def test_native_caption_parse_matches_udf(spark):
+    """The native caption-parse expressions (functions.caption_attrs_columns)
+    must agree row-for-row with the Arrow-UDF reference implementation on
+    escapes, multi-category tags, and tagless captions."""
+    from pyspark.sql import functions as F
+
+    from openpoiservice_spark import captions
+    from openpoiservice_spark.functions import (caption_attrs_columns,
+                                                parse_caption_udf)
+
+    rows = [
+        captions.encode_caption(1, 42, {"amenity": "cafe", "name": "A; B = C %"}),
+        captions.encode_caption(2, 7, {}),
+        captions.encode_caption(1, 9, {"amenity": "vaccination_centre",
+                                       "healthcare:speciality": "vaccination",
+                                       "wheelchair": "no"}),
+        captions.encode_caption(3, 11, {"unknown_key": "x%3B;y"}),
+        captions.encode_caption(1, 13, {"shop": "bakery", "amenity": "cafe"}),
+    ]
+    df = spark.createDataFrame([(c,) for c in rows], "caption string")
+    native = df.withColumns(caption_attrs_columns())
+    ref = df.withColumn("a", parse_caption_udf(F.col("caption"))).select(
+        "caption", F.col("a.osm_type").alias("osm_type"),
+        F.col("a.osm_id").alias("osm_id"), F.col("a.tags").alias("tags"),
+        F.col("a.category_ids").alias("category_ids"))
+    n = {r.caption: r for r in native.collect()}
+    for r in ref.collect():
+        m = n[r.caption]
+        assert (m.osm_type, m.osm_id) == (r.osm_type, r.osm_id)
+        assert (m.tags or {}) == (r.tags or {})
+        assert list(m.category_ids) == list(r.category_ids)
