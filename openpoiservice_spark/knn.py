@@ -42,12 +42,22 @@ def knn(df: DataFrame, lon: float, lat: float, k: int,
         raise ValueError("k must be positive")
     spec = geo.GeomSpec("point", [[lon, lat]])
     center = int(cells.cell_of(lon, lat, res))
-    cell_w, cell_h = _cell_dims_m(res, lat)
-    min_dim = min(cell_w, cell_h)
 
     grid_n = 1 << res
     cx0 = (center >> 26) & ((1 << 26) - 1)
     cy0 = center & ((1 << 26) - 1)
+
+    def min_dim_disk(r: int) -> float:
+        """Min cell dimension over the WHOLE disk's latitude span — lon cell
+        width shrinks poleward, so the fence must use the most poleward
+        latitude the disk reaches, not the query latitude (a point just
+        outside the disk near the pole can otherwise be closer than the
+        query-latitude bound suggests)."""
+        lat_lo = -90.0 + max(cy0 - r, 0) * 180.0 / grid_n
+        lat_hi = -90.0 + min(cy0 + r + 1, grid_n) * 180.0 / grid_n
+        lat_edge = min(max(abs(lat_lo), abs(lat_hi)), 89.99)
+        w, h = _cell_dims_m(res, lat_edge)
+        return min(w, h)
 
     def candidates(r: int) -> DataFrame:
         """The Chebyshev cell disk is an axis-aligned rectangle in grid
@@ -84,12 +94,16 @@ def knn(df: DataFrame, lon: float, lat: float, k: int,
     dist = make_distance_udf(spec)
     with_d = cand.withColumn("distance", dist(F.col("lon"), F.col("lat")))
     topk = with_d.orderBy("distance").limit(k)
-    # correctness fence (step 3)
+    # correctness fence (step 3): the Chebyshev disk of R cells covers a
+    # Euclidean ball of R * min(cell dims over the disk's latitude span)
     kth = topk.agg(F.max("distance").alias("d")).collect()[0].d
-    guaranteed = r * min_dim
-    if kth is not None and kth > guaranteed:
-        need = int(np.ceil(kth / min_dim)) + 1
-        cand = candidates(min(need, max_rings))
+    if kth is not None and kth > r * min_dim_disk(r):
+        # expand until the guaranteed radius covers d_k (fixed-point: the
+        # bound shrinks as the disk grows poleward, so iterate, don't solve)
+        need = r
+        while need < max_rings and need * min_dim_disk(need) < kth:
+            need = min(need * 2, max_rings)
+        cand = candidates(need)
         with_d = cand.withColumn("distance", dist(F.col("lon"), F.col("lat")))
         topk = with_d.orderBy("distance").limit(k)
     return topk

@@ -153,3 +153,37 @@ def test_tile_pyramid_features_consistency(spark, fixture_paths):
     assert abs(one["std_lum"] - lum.std()) < 1e-9
     hist, _ = np.histogram(lum, bins=8, range=(0.0, 256.0))
     assert one["hist0"] == hist[0]
+
+
+def test_knn_polar_fence(spark):
+    """High-latitude fence: lon cell width shrinks poleward inside a tall
+    disk, so the old query-latitude bound (r * min_dim(lat_q)) could certify
+    a top-k that misses a closer point sitting just outside the disk.  A
+    synthetic 86-88N fixture is compared against the numpy brute force."""
+    import pandas as pd
+
+    from openpoiservice_spark import cells, geo
+    from openpoiservice_spark.functions import cell_expr, cell_parent_expr
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    lon = rng.uniform(-30.0, 50.0, n)
+    lat = rng.uniform(86.0, 88.0, n)
+    pdf = pd.DataFrame({"osm_id": np.arange(n, dtype=np.int64),
+                        "lon": lon, "lat": lat})
+    df = spark.createDataFrame(pdf)
+    res = 12
+    cell = cell_expr(F.col("lon"), F.col("lat"), res)
+    df = df.withColumn("cell", cell).withColumn(
+        "pcell", cell_parent_expr(F.col("cell"), res, cells.PARTITION_RES))
+
+    lon0, lat0 = 10.0, 86.5
+    for k in (10, 100):
+        got = knn.knn(df, lon0, lat0, k, res=res).select("osm_id", "distance").collect()
+        assert len(got) == k
+        d = geo.haversine_m(lon, lat, lon0, lat0)
+        brute = pdf.assign(d=d).nsmallest(k, "d")
+        assert {r.osm_id for r in got} == set(brute["osm_id"])
+        np.testing.assert_allclose(
+            sorted(r.distance for r in got), np.sort(brute["d"].to_numpy()), rtol=1e-9)
