@@ -70,6 +70,7 @@ _QVEC = ANN.query_vector(64, seed=7)
 _PLANES = ANN.hyperplanes(8, 64, seed=13)
 #: request filter for the Q2 category-restriction gate query
 _RESTRICT_IDS = sorted({cat for _, _, cat, _ in D.POOL})[:6]
+_CENTROIDS = ANN.ivf_centroids(16, 64, seed=21)
 
 
 # --------------------------------------------------------------- entry
@@ -323,6 +324,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ann_pairs(spark, sf):
         return ANN.cosine_pairs(_emb(spark, sf), 0.35, _PLANES)
 
+    def ann_ivf(spark, sf):
+        return ANN.ivf_topk(_emb(spark, sf), _QVEC, 10, _CENTROIDS, nprobe=2)
+
     return {
         "pois_bbox": pois_bbox,
         "pois_radius": pois_radius,
@@ -356,6 +360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_top10": ann_brute,
         "ann_lsh_top10": ann_lsh,
         "ann_pairs": ann_pairs,
+        "ann_ivf_top10": ann_ivf,
     }
 
 
@@ -564,6 +569,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_lsh_top10": _sql_ann_lsh(),
         "ann_pairs": _sql_ann_pairs(),
+        "ann_ivf_top10": _sql_ann_ivf(),
     }
     return out
 
@@ -646,6 +652,30 @@ def _sql_ann_lsh() -> str:
         "FROM embeddings) "
         f"SELECT vec_id FROM b WHERE bucket IN ({', '.join(map(str, probe))}) "
         f"ORDER BY round({_sql_cosine('embedding', _QVEC)}, 6) DESC, vec_id LIMIT 10"
+    )
+
+
+def _sql_ann_ivf() -> str:
+    # mirrors ANN.ivf_assign_col: per-row dots against the 16-centroid
+    # codebook, argmax with lowest-index tie-break via CASE ordering
+    n = len(_CENTROIDS)
+    dots = ", ".join(
+        f"{_sql_dot('embedding', c)} AS d{i}" for i, c in enumerate(_CENTROIDS)
+    )
+    best = "greatest(" + ", ".join(f"d{i}" for i in range(n)) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN d{i} = best THEN {i}" for i in range(n - 1)
+    ) + f" ELSE {n - 1} END"
+    q = np.asarray(_QVEC, dtype=np.float64)
+    probe = np.argsort(-(_CENTROIDS @ q), kind="stable")[:2]
+    probes = ", ".join(str(int(i)) for i in probe)
+    return (
+        f"WITH d AS (SELECT vec_id, embedding, {dots} FROM embeddings), "
+        f"b AS (SELECT *, {best} AS best FROM d), "
+        f"a AS (SELECT vec_id, embedding, {case} AS ivf_cell FROM b) "
+        f"SELECT vec_id, round({_sql_cosine('embedding', _QVEC)}, 6) AS cosine "
+        f"FROM a WHERE ivf_cell IN ({probes}) "
+        "ORDER BY cosine DESC, vec_id LIMIT 10"
     )
 
 

@@ -105,6 +105,70 @@ def lsh_topk(emb: DataFrame, qvec, k: int = 10, planes: np.ndarray | None = None
     )
 
 
+# --------------------------------------------------------------- IVF tier
+
+def ivf_centroids(n_centroids: int = 16, dim: int = 64, seed: int = 21) -> np.ndarray:
+    """Deterministic unit-vector codebook.  The correctness gate needs a
+    data-independent codebook (the oracle SQL is static); production
+    deployments should train with ivf_train on a bounded sample instead."""
+    rng = np.random.default_rng(seed)
+    c = rng.normal(size=(n_centroids, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def ivf_train(sample: np.ndarray, n_centroids: int = 16, iters: int = 8,
+              seed: int = 21) -> np.ndarray:
+    """k-means-lite on a driver-side sample (numpy Lloyd iterations on
+    normalized vectors — spherical k-means).  At 100 TB: collect a bounded
+    sample with df.sample(fraction).limit(n).toPandas(), train here, ship the
+    codebook as literals; assignment stays a full-scan JVM expression."""
+    x = np.asarray(sample, dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    c = x[rng.choice(len(x), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        for i in range(n_centroids):
+            m = x[assign == i]
+            if len(m):
+                c[i] = m.mean(axis=0)
+        c = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    return c
+
+
+def ivf_assign_col(vec_col: Column, centroids: np.ndarray) -> Column:
+    """Nearest-centroid id (argmax of dot, unit centroids = max cosine);
+    ties break to the LOWEST index — the same CASE ordering the oracle SQL
+    uses, so assignment is bit-identical across engines."""
+    dots = [_dot(vec_col, _qvec_lit(c)) for c in centroids]
+    best = F.greatest(*dots)
+    out = F.lit(len(centroids) - 1)
+    for i in range(len(centroids) - 2, -1, -1):
+        out = F.when(dots[i] == best, F.lit(i)).otherwise(out)
+    return out.cast("int")
+
+
+def ivf_topk(emb: DataFrame, qvec, k: int = 10,
+             centroids: np.ndarray | None = None, nprobe: int = 2) -> DataFrame:
+    """IVF-flat approximate top-k: assign every vector to its nearest
+    centroid (one JVM full-scan expression — the table can be written
+    partitioned by this id, turning probes into partition pruning), probe
+    the query's top-nprobe centroid cells, re-rank candidates exactly."""
+    centroids = ivf_centroids() if centroids is None else centroids
+    q = np.asarray(qvec, dtype=np.float64)
+    probe = np.argsort(-(centroids @ q), kind="stable")[:nprobe]
+    cand = emb.withColumn("ivf_cell", ivf_assign_col(F.col("embedding"), centroids)) \
+              .filter(F.col("ivf_cell").isin([int(i) for i in probe]))
+    return (
+        cand.select(
+            "vec_id",
+            F.round(cosine_col(F.col("embedding"), qvec), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(k)
+    )
+
+
 def bucket_stats(emb: DataFrame, planes: np.ndarray | None = None) -> DataFrame:
     """(bucket, n_vecs) histogram — pair with `max_bucket` to route
     degenerate buckets (e.g. all-zero embeddings) off the quadratic path."""

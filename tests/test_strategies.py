@@ -121,3 +121,34 @@ def test_ann_bucket_cap(spark):
 
     stats = ANN.bucket_stats(emb, planes).collect()
     assert max(s.n_vecs for s in stats) >= 500
+
+
+def test_ivf_trained_codebook_recall(spark):
+    """IVF with a k-means-trained codebook: on clustered data, probing 2 of
+    8 cells recovers the exact brute-force top-10 (the query lands in a
+    trained cluster), and the assignment expression partitions the table."""
+    from openpoiservice_spark.operators import ann as ANN
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(8, 16)) * 3
+    vecs, rows = [], []
+    for i in range(800):
+        c = centers[i % 8]
+        v = c + rng.normal(size=16) * 0.3
+        vecs.append(v)
+        rows.append((i, v.tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    trained = ANN.ivf_train(np.array(vecs[:400]), n_centroids=8, seed=9)
+    q = vecs[123]  # a member of cluster 123%8 — its cell must be probed
+    got = ANN.ivf_topk(emb, q, 10, trained, nprobe=2).collect()
+    brute = ANN.brute_topk(emb, q, 10).collect()
+    got_ids = [r.vec_id for r in got]
+    brute_ids = [r.vec_id for r in brute]
+    assert len(set(got_ids) & set(brute_ids)) >= 9  # >= 90% recall
+
+    stats = (
+        emb.withColumn("cell", ANN.ivf_assign_col(F.col("embedding"), trained))
+        .groupBy("cell").count().collect()
+    )
+    assert len(stats) >= 6  # codebook actually spreads the data
