@@ -160,14 +160,54 @@ class PoiEngine:
         self.spark = spark
         self.prepared_dir = prepared_dir
         self._df = prepare.read_prepared(spark, prepared_dir)
+        self._pcell_rows = self._load_pcell_stats()
 
     # ------------------------------------------------------------ planning
 
+    def _load_pcell_stats(self) -> dict[int, int]:
+        """Latest committed row count per pcell from the lineage table — the
+        planner statistics the reference's PostGIS ANALYZE supplied
+        implicitly (and whose absence cost it 33x, reference
+        misc.sql:113-143).  One bounded collect at engine construction."""
+        lin = prepare.read_lineage(self.spark, self.prepared_dir)
+        if lin is None:
+            return {}
+        rows = (
+            lin.filter(F.col("status") == "committed")
+            .groupBy("pcell")
+            .agg(F.expr("max_by(n_rows, ts)").alias("n_rows"))
+            .collect()
+        )
+        return {int(r.pcell): int(r.n_rows) for r in rows}
+
+    def _estimate_cover_rows(self, cover: np.ndarray, res: int) -> float:
+        """Expected rows inside the cover, assuming uniform density within a
+        pcell: sum over pcells of n_rows * (covered res-cells / res-cells
+        per pcell)."""
+        if not self._pcell_rows or res < cells.PARTITION_RES:
+            return 0.0
+        pcs, counts = np.unique(
+            cells.cell_parent(cover, cells.PARTITION_RES), return_counts=True
+        )
+        per_pcell = 4 ** (res - cells.PARTITION_RES)
+        return float(sum(
+            self._pcell_rows.get(int(pc), 0) * (int(c) / per_pcell)
+            for pc, c in zip(pcs, counts)
+        ))
+
     def _prefilter(self, df: DataFrame, cq: CompiledQuery) -> DataFrame:
-        """Cell-cover prefilter with size-adaptive join strategy (J7)."""
+        """Cell-cover prefilter with size-adaptive join strategy (J7).
+        Strategy choice is DENSITY-AWARE: measured per-pcell row counts from
+        the lineage table refine the cover on dense regions (fewer
+        false-positive rows reach the exact-refine UDF), which in turn flips
+        IN-pushdown -> broadcast-hash through the size thresholds."""
         region = cq.refine_spec
         res = cells.pick_cover_res(region, cq.refine_buffer)
         cover = cells.cover_geometry(region, cq.refine_buffer, res)
+        est = self._estimate_cover_rows(cover, res)
+        if est > config.DENSE_REFINE_ROWS and res < cells.DEFAULT_RES:
+            res = min(res + 2, cells.DEFAULT_RES)
+            cover = cells.cover_geometry(region, cq.refine_buffer, res)
         if cq.refine_bbox is not None:
             bcover = cells.cover_geometry(cq.refine_bbox, 0.0, res)
             cover = np.intersect1d(cover, bcover)

@@ -100,3 +100,32 @@ def test_topk_is_take_ordered(spark):
     view = derive.spark_poi_view(spark, "/root/testdata/sf0.001")
     q = view.orderBy("lon").limit(10)
     assert "TakeOrderedAndProject" in _plan(q)
+
+
+def test_density_stats_flip_cover_strategy(spark, fixture_paths):
+    """Lineage-driven planning: on a DENSE region (measured per-pcell rows
+    above DENSE_REFINE_ROWS) the planner refines the cover 16x, pushing the
+    cover list past the IN threshold so the plan flips from pushed
+    In(cell, ...) to a BroadcastHashJoin against the cover DataFrame."""
+    from openpoiservice_spark import fixtures
+    from openpoiservice_spark.api import PoiEngine
+
+    payload = {"request": "pois",
+               "geometry": {"geojson": {"type": "Point",
+                                        "coordinates": list(fixtures.POINT_P)},
+                            "buffer": 2000}}
+
+    sparse = PoiEngine(spark, fixture_paths["prepared"])
+    assert sparse._pcell_rows, "lineage stats must load"
+    plan_sparse = _plan(sparse.pois_df(payload))
+    assert "BroadcastHashJoin" not in plan_sparse  # IN-pushdown path
+
+    dense = PoiEngine(spark, fixture_paths["prepared"])
+    dense._pcell_rows = {pc: 10_000_000_000 for pc in dense._pcell_rows}
+    plan_dense = _plan(dense.pois_df(payload))
+    assert "BroadcastHashJoin" in plan_dense  # refined cover -> join path
+
+    # both plans return identical rows (strategy is performance-only)
+    a = {r.osm_id for r in sparse.pois_df(payload).collect()}
+    b = {r.osm_id for r in dense.pois_df(payload).collect()}
+    assert a == b and a
