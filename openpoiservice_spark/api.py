@@ -156,11 +156,29 @@ def compile_geometry(geometry: dict) -> list[CompiledQuery]:
 
 
 class PoiEngine:
-    def __init__(self, spark: SparkSession, prepared_dir: str):
+    def __init__(self, spark: SparkSession, prepared_dir: str,
+                 invalid_log: str | None = None):
         self.spark = spark
         self.prepared_dir = prepared_dir
+        self.invalid_log = invalid_log
         self._df = prepare.read_prepared(spark, prepared_dir)
         self._pcell_rows = self._load_pcell_stats()
+
+    def _log_invalid(self, payload, error_code: int) -> None:
+        """S9: invalid-request log (reference views.py:143-149 appends a
+        timestamped line per rejected body).  Driver-side ops log, one line
+        per rejection — same append-a-line shape as the reference."""
+        if not self.invalid_log:
+            return
+        import json
+
+        try:
+            req = json.dumps(payload, sort_keys=True, default=str)
+        except Exception:  # noqa: BLE001 — anything stringifiable gets logged
+            req = repr(payload)
+        req = req.replace("\n", "").replace(" ", "")
+        with open(self.invalid_log, "a") as f:
+            f.write(f"{time.strftime('%Y-%m-%d %H:%M:%S')} -: {error_code} {req}\n")
 
     # ------------------------------------------------------------ planning
 
@@ -309,6 +327,16 @@ class PoiEngine:
 
     def request(self, payload: dict):
         """Dispatch exactly like the reference's /pois route (views.py:78-153)."""
+        try:
+            return self._request(payload)
+        except InvalidUsage as e:
+            self._log_invalid(payload, e.error_code)
+            raise
+
+    def _request(self, payload: dict):
+        if not isinstance(payload, dict):
+            # reference 4009: request body is not parseable JSON (views.py:149)
+            raise InvalidUsage("request body must be a JSON object", 4009)
         req = payload.get("request")
         if req not in ("pois", "stats", "list"):
             raise InvalidUsage("request must be one of pois/stats/list", 4000)

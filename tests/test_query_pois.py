@@ -367,3 +367,27 @@ def test_row_for_row_parity_with_numpy_oracle(engine):
             assert p["osm_tags"] == wl
         else:
             assert "osm_tags" not in p
+
+
+def test_invalid_request_log(spark, fixture_paths, tmp_path):
+    """S9: rejected requests append one line each to the invalid-request log
+    (reference views.py:143-149); non-dict bodies get 4009."""
+    from openpoiservice_spark.api import PoiEngine
+
+    log = str(tmp_path / "invalid.log")
+    eng = PoiEngine(spark, fixture_paths["prepared"], invalid_log=log)
+    with pytest.raises(InvalidUsage) as e:
+        eng.request("not a json object")
+    assert e.value.error_code == 4009
+    with pytest.raises(InvalidUsage) as e:
+        eng.request({"request": "pois"})  # no geometry -> 4002
+    assert e.value.error_code == 4002
+    with open(log) as f:
+        lines = f.read().strip().splitlines()
+    assert len(lines) == 2
+    assert " 4009 " in lines[0] and " 4002 " in lines[1]
+
+    # a valid request logs nothing
+    eng.request({"request": "list"})
+    with open(log) as f:
+        assert len(f.read().strip().splitlines()) == 2
