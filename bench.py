@@ -189,13 +189,19 @@ def run_queries(spark, prepared: str, sf_dir: str) -> tuple[dict, dict]:
 
     _, timings["knn_100"] = _timed(knn100)
 
-    # tile pixel decode on the corridor subset (the binary-payload stage)
+    # tile pixel decode on the corridor subset (the binary-payload stage).
+    # Two-phase payload selection (tiles.filter_payload): the Arrow refine
+    # runs on a payload-free projection; bytes meet only JVM operators until
+    # they cross Arrow once into the decode (23-38 s -> 4.5-10 s at sf0.1)
     def corridor_pixels():
-        hits = (
-            pois.filter(F.col("pcell").isin(pcover))
-            .filter(qcell.isin(cover.tolist()))
-            .filter(refine(F.col("lon"), F.col("lat")))
-            .select("image_id", "bytes", "fmt", "lon", "lat", "w", "h")
+        hits = TI.filter_payload(
+            pois,
+            meta_filter=lambda d: (
+                d.filter(F.col("pcell").isin(pcover))
+                .filter(qcell.isin(cover.tolist()))
+                .filter(refine(F.col("lon"), F.col("lat")))
+            ),
+            payload_prefilter=lambda d: d.filter(F.col("pcell").isin(pcover)),
         )
         return (
             TI.tile_pixel_stats(hits, 14)

@@ -129,3 +129,28 @@ def test_density_stats_flip_cover_strategy(spark, fixture_paths):
     a = {r.osm_id for r in sparse.pois_df(payload).collect()}
     b = {r.osm_id for r in dense.pois_df(payload).collect()}
     assert a == b and a
+
+
+def test_filter_payload_two_phase(spark, fixture_paths):
+    """tiles.filter_payload: identical rows to the direct single-phase
+    filter, with the Python refine stage on the payload-FREE side only —
+    bytes meet nothing but the broadcast-join probe (one ArrowEvalPython in
+    the whole plan, on the meta branch)."""
+    from openpoiservice_spark import fixtures, geo, tiles
+    from openpoiservice_spark.functions import make_refine_udf
+
+    df = prepare.read_prepared(spark, fixture_paths["prepared"])
+    spec = geo.GeomSpec("point", [list(fixtures.POINT_P)])
+    refine = make_refine_udf(spec, 300.0, None)
+    pred = lambda d: d.filter(refine(F.col("lon"), F.col("lat")))  # noqa: E731
+
+    direct = pred(df).select("image_id", "bytes")
+    two = tiles.filter_payload(df, pred)
+    a = {r.image_id for r in direct.collect()}
+    b = {(r.image_id, r.bytes is not None) for r in two.collect()}
+    assert {x[0] for x in b} == a and a
+    assert all(x[1] for x in b)  # payload came through
+
+    plan = _plan(two).split("== Initial Plan ==")[0]  # AQE repeats the tree
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("ArrowEvalPython") == 1  # refine on the meta side only
