@@ -98,6 +98,76 @@ def _write_batch(batch_df: DataFrame, prepared_dir: str, fp: str) -> None:
         batch_df.unpersist()
 
 
+SESSION_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("session_start", T.LongType()),
+    T.StructField("session_end", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+])
+
+_SESSION_STATE_SCHEMA = T.StructType([
+    T.StructField("start", T.LongType()),
+    T.StructField("last", T.LongType()),
+    T.StructField("n", T.LongType()),
+])
+
+
+def stream_sessionize(events, gap_s: int = 1800, watermark: str = "1 hour"):
+    """Custom stateful streaming operator: per-user session windows with a
+    `gap_s` inactivity cutoff over a stream of (user_id, ts) events —
+    applyInPandasWithState with event-time timeout (SURVEY.md §2.9 engine
+    extension; the batch twin is the `events_sessions` gate query).
+
+    State per user: (session start, last event, count).  A micro-batch's
+    events extend or close sessions; a user silent past the watermark +
+    gap closes via timeout.  Emits one row per CLOSED session (append mode).
+    Scale: state is per-user O(1); the shuffle key is user_id — the same
+    hash partitioning every stateful op in the plan reuses.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdf_iter, state: GroupState):
+        user_id = key[0]
+        closed: list[tuple[int, int, int, int]] = []
+        if state.hasTimedOut:
+            start, last, n = state.get
+            closed.append((user_id, start, last, n))
+            state.remove()
+        else:
+            ts = []
+            for pdf in pdf_iter:
+                ts.extend(pdf["t"].tolist())
+            ts.sort()
+            start, last, n = state.get if state.exists else (None, None, 0)
+            for t in ts:
+                if last is not None and t - last > gap_s:
+                    closed.append((user_id, start, last, n))
+                    start, n = t, 0
+                if start is None:
+                    start = t
+                last = t
+                n += 1
+            state.update((start, last, n))
+            # close the open session when the user goes silent past the gap
+            state.setTimeoutTimestamp((last + gap_s) * 1000)
+        yield pd.DataFrame(
+            closed, columns=["user_id", "session_start", "session_end", "n_events"]
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .selectExpr("user_id", "ts",
+                    "CAST(unix_seconds(CAST(ts AS TIMESTAMP)) AS LONG) AS t")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, SESSION_SCHEMA, _SESSION_STATE_SCHEMA, "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def stream_prepare(spark: SparkSession, raw_dir: str, prepared_dir: str,
                    checkpoint_dir: str, max_files_per_trigger: int | None = None):
     """Drain new raw files into the prepared table; returns the query after

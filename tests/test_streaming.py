@@ -140,3 +140,42 @@ def test_native_caption_parse_matches_udf(spark):
         assert (m.osm_type, m.osm_id) == (r.osm_type, r.osm_id)
         assert (m.tags or {}) == (r.tags or {})
         assert list(m.category_ids) == list(r.category_ids)
+
+
+def test_stream_sessionize_stateful(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): per-user gap
+    sessions close across micro-batch boundaries; open sessions stay in
+    state.  Feed two file-batches (maxFilesPerTrigger=1) so state must
+    survive a batch boundary."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    raw_dir = str(tmp_path / "events")
+    os.makedirs(raw_dir)
+
+    def chunk(rows, name):
+        df = pd.DataFrame(rows, columns=["user_id", "t"])
+        df["ts"] = pd.to_datetime(df.pop("t"), unit="s", utc=True).astype("datetime64[us, UTC]")
+        _write_chunk(df, os.path.join(raw_dir, name))
+
+    # user 1: session A (1000..1400, 3 events) closed by an 8600 s gap;
+    # user 2: closed by EVENT-TIME TIMEOUT (watermark 10100-3600=6500 passes
+    # 2500+1800); user 1's final session (10000..10100) stays open in state
+    chunk([(1, 1000), (1, 1200), (2, 2000)], "c0.parquet")
+    chunk([(1, 1400), (1, 10000), (1, 10100), (2, 2500)], "c1.parquet")
+
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", "1").parquet(raw_dir))
+    q = (streaming.stream_sessionize(src, gap_s=1800)
+         .writeStream.format("memory").queryName("sess")
+         .option("checkpointLocation", str(tmp_path / "cp"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    rows = {(r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in spark.sql("SELECT * FROM sess").collect()}
+    assert rows == {(1, 1000, 1400, 3), (2, 2000, 2500, 2)}
