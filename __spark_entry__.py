@@ -315,6 +315,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def fingerprint(spark, sf):
         return TX.fingerprint(_docs(spark, sf))
 
+    def curate(spark, sf):
+        return TX.curate(_docs(spark, sf), min_quality=0.5, langs=("en",))
+
     def ann_brute(spark, sf):
         return ANN.brute_topk(_emb(spark, sf), _QVEC, 10)
 
@@ -357,6 +360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": quality,
         "token_counts": token_counts,
         "doc_fingerprint": fingerprint,
+        "curate_keep": curate,
         "ann_brute_top10": ann_brute,
         "ann_lsh_top10": ann_lsh,
         "ann_pairs": ann_pairs,
@@ -538,18 +542,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_candidate_pairs": (
             f"WITH {_sql_lsh_pairs_cte()} SELECT doc_a, doc_b FROM pairs"
         ),
-        "near_dup_jaccard": (
-            f"WITH {_sql_lsh_pairs_cte()}, "
-            "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1), "
-            "inter AS (SELECT p.doc_a, p.doc_b, count(*) AS n_inter "
-            "FROM pairs p JOIN sh a ON a.doc_id = p.doc_a "
-            "JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle "
-            "GROUP BY 1, 2) "
-            "SELECT i.doc_a, i.doc_b, round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard "
-            "FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a "
-            "JOIN sizes sb ON sb.doc_id = i.doc_b "
-            "WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.2"
-        ),
+        "near_dup_jaccard": _sql_near_dup(),
         "simhash16": _sql_simhash(),
         "lang_id": _sql_lang_id(),
         "quality_score": _sql_quality(),
@@ -563,6 +556,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), "
             "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp FROM documents"
         ),
+        "curate_keep": _sql_curate(),
         "ann_brute_top10": (
             f"SELECT vec_id, round({_sql_cosine('embedding', _QVEC)}, 6) AS cosine "
             "FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10"
@@ -583,6 +577,37 @@ def _sql_category_restrict() -> str:
         f"array_to_string(list_transform({kept}, x -> CAST(x AS VARCHAR)), ',') "
         "AS matched_cats "
         f"FROM poi WHERE {D.sql_bbox_pred('lon', 'lat')} AND len({kept}) > 0"
+    )
+
+
+def _sql_near_dup() -> str:
+    return (
+        f"WITH {_sql_lsh_pairs_cte()}, "
+        "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1), "
+        "inter AS (SELECT p.doc_a, p.doc_b, count(*) AS n_inter "
+        "FROM pairs p JOIN sh a ON a.doc_id = p.doc_a "
+        "JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle "
+        "GROUP BY 1, 2) "
+        "SELECT i.doc_a, i.doc_b, round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard "
+        "FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a "
+        "JOIN sizes sb ON sb.doc_id = i.doc_b "
+        "WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.2"
+    )
+
+
+def _sql_curate() -> str:
+    # the four gates of TX.curate as one CTE chain over the documents table
+    return (
+        "WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)), "
+        f"losers AS (SELECT DISTINCT doc_b AS doc_id FROM ({_sql_near_dup()}) nd), "
+        f"q AS (SELECT doc_id, quality FROM ({_sql_quality()}) qq), "
+        f"l AS (SELECT doc_id, pred_lang FROM ({_sql_lang_id()}) ll) "
+        "SELECT d.doc_id, l.pred_lang, q.quality FROM documents d "
+        "JOIN keep ON keep.doc_id = d.doc_id "
+        "LEFT JOIN losers ON losers.doc_id = d.doc_id "
+        "JOIN q ON q.doc_id = d.doc_id "
+        "JOIN l ON l.doc_id = d.doc_id "
+        "WHERE losers.doc_id IS NULL AND q.quality >= 0.5 AND l.pred_lang IN ('en')"
     )
 
 

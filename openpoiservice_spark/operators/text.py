@@ -164,6 +164,37 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.2, n: int = 5,
     return out
 
 
+def curate(docs: DataFrame, min_quality: float = 0.5, langs: tuple = ("en",),
+           jaccard_threshold: float = 0.2,
+           max_bucket: int | None = None) -> DataFrame:
+    """Training-data curation pipeline — the composition a 100 TB ingest
+    actually runs: keep docs that are (a) the exact-dedup survivor of their
+    text hash, (b) not the dropped side of a near-dup pair (the larger
+    doc_id of each Jaccard pair is dropped, deterministic), (c) above the
+    quality floor, (d) in an accepted language.
+
+    All four gates are column joins/filters over the operators above — one
+    pipeline, no collect, every stage bucketed or broadcastable.  Returns
+    (doc_id, pred_lang, quality) for the surviving docs.
+    """
+    keep_exact = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    near_losers = (
+        ngram_jaccard_pairs(docs, jaccard_threshold, max_bucket=max_bucket)
+        .select(F.col("doc_b").alias("doc_id")).distinct()
+    )
+    q = quality_score(docs).select("doc_id", "quality")
+    lang = lang_id(docs).select("doc_id", "pred_lang")
+    return (
+        docs.select("doc_id")
+        .join(keep_exact, "doc_id")                     # exact-dup survivor
+        .join(near_losers, "doc_id", "left_anti")       # near-dup loser drop
+        .join(q, "doc_id")
+        .join(lang, "doc_id")
+        .filter((F.col("quality") >= min_quality) & F.col("pred_lang").isin(list(langs)))
+        .select("doc_id", "pred_lang", "quality")
+    )
+
+
 def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     """SimHash fingerprint over word tokens: bit b of the fingerprint is the
     sign of sum over tokens of (2*bit_b(h32(token)) - 1)."""
