@@ -1,0 +1,95 @@
+"""Property-based tests (hypothesis) for the pure-numpy kernels — the codec
+and index invariants the whole engine rests on, probed over generated inputs
+rather than fixture points."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from openpoiservice_spark import captions, cells, geo
+
+# text that stresses the escaping: includes the escape chars themselves
+_tag_text = st.text(
+    alphabet=st.sampled_from(list("ab%;=% 25B3D\x01é")), min_size=0, max_size=12
+)
+_tags = st.dictionaries(
+    st.text(alphabet=st.sampled_from(list("abc%;=_")), min_size=1, max_size=8),
+    _tag_text, max_size=5,
+)
+
+
+@given(osm_type=st.integers(0, 3), osm_id=st.integers(0, 2**62), tags=_tags)
+@settings(max_examples=200, deadline=None)
+def test_caption_roundtrip_property(osm_type, osm_id, tags):
+    cap = captions.encode_caption(osm_type, osm_id, tags)
+    t, i, tg = captions.decode_caption(cap)
+    assert (t, i) == (osm_type, osm_id)
+    # keys colliding with the header fields are consumed by the header parse;
+    # the synthesizer never emits them (canonical contract)
+    expected = {k: v for k, v in tags.items() if k not in ("osm_type", "osm_id")}
+    assert tg == expected
+
+
+_lon = st.floats(min_value=-179.999, max_value=179.999,
+                 allow_nan=False, allow_infinity=False)
+_lat = st.floats(min_value=-89.999, max_value=89.999,
+                 allow_nan=False, allow_infinity=False)
+
+
+@given(lon=_lon, lat=_lat, res=st.integers(0, cells.MAX_RES))
+@settings(max_examples=200, deadline=None)
+def test_cell_contains_its_point(lon, lat, res):
+    """Containment up to 1 ulp of the bin boundary: floor((x+180)/360*n) can
+    round a boundary-adjacent float into the neighbouring bin — inherent to
+    any floor binning and IDENTICAL in the DuckDB oracle (cross-engine
+    agreement, not sub-ulp geometry, is the correctness contract)."""
+    eps = 1e-9  # ~0.1 mm
+    c = int(cells.cell_of(lon, lat, res))
+    mnx, mny, mxx, mxy = cells.cell_bounds(c)
+    assert mnx - eps <= lon < mxx + eps or (lon == 180.0 and mxx == 180.0)
+    assert mny - eps <= lat < mxy + eps or (lat == 90.0 and mxy == 90.0)
+
+
+@given(lon=_lon, lat=_lat,
+       res=st.integers(8, cells.MAX_RES), up=st.integers(1, 7))
+@settings(max_examples=200, deadline=None)
+def test_parent_contains_child(lon, lat, res, up):
+    child = int(cells.cell_of(lon, lat, res))
+    parent = int(cells.cell_parent(child, res - up))
+    assert parent == int(cells.cell_of(lon, lat, res - up))
+    pmnx, pmny, pmxx, pmxy = cells.cell_bounds(parent)
+    cmnx, cmny, cmxx, cmxy = cells.cell_bounds(child)
+    assert pmnx <= cmnx and pmny <= cmny and pmxx >= cmxx and pmxy >= cmxy
+
+
+@given(lon=st.floats(min_value=-10, max_value=10),
+       lat=st.floats(min_value=40, max_value=60),
+       dx=st.floats(min_value=0.01, max_value=2.0),
+       dy=st.floats(min_value=0.01, max_value=2.0),
+       res=st.integers(4, 12))
+@settings(max_examples=100, deadline=None)
+def test_cover_bbox_superset(lon, lat, dx, dy, res):
+    """Every point of the box maps to a cell in the box's cover (sampled)."""
+    cover = set(cells.cover_bbox(lon, lat, lon + dx, lat + dy, res).tolist())
+    rng = np.random.default_rng(0)
+    px = rng.uniform(lon, lon + dx, 50)
+    py = rng.uniform(lat, lat + dy, 50)
+    assert set(cells.cell_of(px, py, res).tolist()) <= cover
+
+
+@given(px=st.floats(min_value=8.795, max_value=8.825),
+       py=st.floats(min_value=53.065, max_value=53.095))
+@settings(max_examples=200, deadline=None)
+def test_donut_membership_consistency(px, py):
+    """within_m(0) on a donut == (inside outer) and not (inside hole), and
+    distance is 0 exactly on membership."""
+    ring = [[8.80, 53.07], [8.82, 53.07], [8.82, 53.09], [8.80, 53.09], [8.80, 53.07]]
+    hole = [[8.807, 53.077], [8.813, 53.077], [8.813, 53.083], [8.807, 53.083],
+            [8.807, 53.077]]
+    g = geo.GeomSpec("polygon", ring, holes=[hole])
+    x, y = geo.local_xy([px], [py], g.lon0, g.lat0)
+    in_outer = geo.point_in_ring(x, y, g._xy)[0]
+    in_hole = geo.point_in_ring(x, y, g._holes_xy[0])[0]
+    member = bool(in_outer and not in_hole)
+    assert bool(g.within_m([px], [py], 0.0)[0]) == member
+    assert (g.distance_m([px], [py])[0] == 0.0) == member
