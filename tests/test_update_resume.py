@@ -155,3 +155,31 @@ def test_partition_layout_and_pruning(spark, merge_env):
     assert "PartitionFilters" in plan
     assert "pcell" in plan
     assert "PushedFilters" in plan
+
+
+def test_merge_drops_fully_emptied_pcell(spark, tmp_path_factory):
+    """Deleting every row of a pcell must remove its directory (dynamic
+    overwrite only rewrites partitions that receive rows — the sweep is
+    explicit in merge())."""
+    root = tmp_path_factory.mktemp("empty_pcell")
+    raw = str(root / "raw.parquet")
+    prepared = str(root / "prepared")
+    fixtures.build_sf_test(raw, n_filler=300)
+    prepare.prepare(spark, raw, prepared)
+
+    cur = prepare.read_prepared(spark, prepared)
+    total_before = cur.count()
+    counts = cur.groupBy("pcell").count().collect()
+    victim = min(counts, key=lambda r: r["count"])
+    keys = [(r.osm_type, r.osm_id) for r in
+            cur.filter(F.col("pcell") == victim.pcell)
+               .select("osm_type", "osm_id").collect()]
+    empty_ups = spark.createDataFrame([], spark.read.parquet(raw).schema)
+    prepare.merge(spark, prepared, empty_ups, keys)
+
+    after = prepare.read_prepared(spark, prepared)  # fresh file listing
+    assert after.filter(F.col("pcell") == victim.pcell).count() == 0
+    assert not os.path.exists(
+        os.path.join(prepare.data_path(prepared), f"pcell={victim.pcell}"))
+    # other partitions untouched
+    assert after.count() == total_before - len(keys)
