@@ -36,6 +36,22 @@ def main(argv=None):
     sq = sub.add_parser("pois", help="run a POI/stats request payload")
     sq.add_argument("--prepared", required=True)
     sq.add_argument("--payload", required=True, help="JSON request dict")
+    sq.add_argument("--invalid-log", default=None,
+                    help="append rejected requests to this file (S9)")
+
+    sc = sub.add_parser("curate", help="document curation pipeline")
+    sc.add_argument("--docs", required=True, help="documents parquet path")
+    sc.add_argument("--out", default=None)
+    sc.add_argument("--min-quality", type=float, default=0.5)
+    sc.add_argument("--langs", default="en", help="comma-separated")
+    sc.add_argument("--max-bucket", type=int, default=100_000,
+                    help="LSH skew guard (oversized buckets skip pairing)")
+
+    ss = sub.add_parser("sessions", help="stateful streaming sessionization")
+    ss.add_argument("--events-dir", required=True)
+    ss.add_argument("--out", required=True)
+    ss.add_argument("--checkpoint", required=True)
+    ss.add_argument("--gap", type=int, default=1800)
 
     st = sub.add_parser("tiles", help="tile histogram over the prepared table")
     st.add_argument("--prepared", required=True)
@@ -62,8 +78,37 @@ def main(argv=None):
     elif args.cmd == "pois":
         from openpoiservice_spark.api import PoiEngine
 
-        out = PoiEngine(spark, args.prepared).request(json.loads(args.payload))
+        eng = PoiEngine(spark, args.prepared, invalid_log=args.invalid_log)
+        out = eng.request(json.loads(args.payload))
         print(json.dumps(out))
+    elif args.cmd == "curate":
+        from openpoiservice_spark.operators import text as TX
+
+        docs = spark.read.parquet(args.docs)
+        kept = TX.curate(docs, args.min_quality,
+                         tuple(args.langs.split(",")), max_bucket=args.max_bucket)
+        if args.out:
+            kept.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"kept": kept.count(), "total": docs.count()}))
+    elif args.cmd == "sessions":
+        from pyspark.sql import types as T
+
+        from openpoiservice_spark import streaming
+
+        schema = T.StructType([
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ])
+        src = spark.readStream.schema(schema).parquet(args.events_dir)
+        q = (streaming.stream_sessionize(src, gap_s=args.gap)
+             .writeStream.format("parquet").option("path", args.out)
+             .option("checkpointLocation", args.checkpoint)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        print(json.dumps({"status": "drained", "out": args.out}))
     elif args.cmd == "tiles":
         from openpoiservice_spark import prepare, tiles
 
