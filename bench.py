@@ -129,6 +129,16 @@ def run_queries(spark, prepared: str, sf_dir: str) -> tuple[dict, dict]:
     timings: dict[str, float] = {}
     info: dict[str, float] = {"rows": n_rows}
 
+    # steady-state warm (BENCH/BASELINE.md protocol): touch each code path
+    # once — codegen JIT, Python worker fork, Arrow serializers, parquet
+    # footers — so per-query timings measure the plan, not session startup
+    _warm_spec = G.GeomSpec("point", [[D.POINT_Q[0], D.POINT_Q[1]]])
+    _warm_refine = make_refine_udf(_warm_spec, 5_000.0, None)
+    pois.select("lon", "lat").filter(_warm_refine(F.col("lon"), F.col("lat"))).count()
+    TI.tile_pixel_stats(
+        pois.sample(0.001, seed=2).select("image_id", "bytes", "fmt", "lon", "lat", "w", "h"), 14
+    ).count()
+
     line_spec = G.GeomSpec("linestring", D.LINE_Q)
     cover = C.cover_geometry(line_spec, D.CORRIDOR_M, _res := 12)
     pcover = np.unique(C.cell_parent(cover, C.PARTITION_RES)).tolist()
