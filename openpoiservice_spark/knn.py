@@ -78,32 +78,32 @@ def knn(df: DataFrame, lon: float, lat: float, k: int,
             & (F.col("lat") >= lat_lo) & (F.col("lat") < lat_hi)
         )
 
-    # initial ring sized for k assuming >= 1 row/cell (each doubling is a
-    # full driver round-trip — start where success is plausible)
-    r = max(1, int(np.ceil(np.sqrt(k) / 2.0)))
-    while r <= max_rings:
-        cand = candidates(r)
-        n = cand.count()
-        if n >= k:
-            break
-        r *= 2
-    else:
-        r = max_rings
-        cand = candidates(r)
-
     dist = make_distance_udf(spec)
-    with_d = cand.withColumn("distance", dist(F.col("lon"), F.col("lat")))
-    topk = with_d.orderBy("distance").limit(k)
+
+    def topk_df(r: int) -> DataFrame:
+        cand = candidates(r)
+        with_d = cand.withColumn("distance", dist(F.col("lon"), F.col("lat")))
+        return with_d.orderBy("distance").limit(k)
+
+    # one job per probe: the top-k itself doubles as the count probe (fewer
+    # than k rows back => disk too small) AND the fence input (the k-th
+    # distance is read off the collected rows, no extra agg job)
+    r = max(1, int(np.ceil(np.sqrt(k) / 2.0)))
+    while True:
+        topk = topk_df(r)
+        rows = topk.collect()
+        if len(rows) >= k or r >= max_rings:
+            break
+        r = min(r * 2, max_rings)
+
     # correctness fence (step 3): the Chebyshev disk of R cells covers a
     # Euclidean ball of R * min(cell dims over the disk's latitude span)
-    kth = topk.agg(F.max("distance").alias("d")).collect()[0].d
-    if kth is not None and kth > r * min_dim_disk(r):
+    kth = max((row.distance for row in rows), default=None)
+    if kth is not None and kth > r * min_dim_disk(r) and r < max_rings:
         # expand until the guaranteed radius covers d_k (fixed-point: the
         # bound shrinks as the disk grows poleward, so iterate, don't solve)
         need = r
         while need < max_rings and need * min_dim_disk(need) < kth:
             need = min(need * 2, max_rings)
-        cand = candidates(need)
-        with_d = cand.withColumn("distance", dist(F.col("lon"), F.col("lat")))
-        topk = with_d.orderBy("distance").limit(k)
+        topk = topk_df(need)
     return topk
