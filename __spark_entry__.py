@@ -104,6 +104,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def pois_corridor(spark, sf):
         return _geo_query(spark, sf, G.GeomSpec("linestring", D.LINE_Q), D.CORRIDOR_M)
 
+    def pois_polygon_bbox(spark, sf):
+        # P2: geom ∩ bbox conjunct (reference query_builder.py:124-130) —
+        # the bbox rides along as a second refine conjunct, exactly the
+        # engine's CompiledQuery.refine_bbox path
+        ring = list(D.POLY_Q) + [D.POLY_Q[0]]
+        spec = G.GeomSpec("polygon", ring)
+        bbox = G.bbox_spec(*D.BBOX_Q)
+        view = D.spark_poi_view(spark, sf)
+        cover = C.cover_geometry(spec, 0.0, _GEO_RES)
+        qcell = cell_expr(F.col("lon"), F.col("lat"), _GEO_RES)
+        refine = make_refine_udf(spec, 0.0, bbox)
+        return (
+            view.filter(qcell.isin(cover.tolist()))
+            .filter(refine(F.col("lon"), F.col("lat")))
+            .select("poi_id", "lon", "lat")
+        )
+
     def pois_polygon_holes(spark, sf):
         # donut: POIs inside the interior ring are excluded (PostGIS
         # hole semantics, reference views.py:228-233)
@@ -335,6 +352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pois_radius": pois_radius,
         "pois_polygon": pois_polygon,
         "pois_corridor": pois_corridor,
+        "pois_polygon_bbox": pois_polygon_bbox,
         "pois_polygon_holes": pois_polygon_holes,
         "pois_sorted_limit": pois_sorted_limit,
         "pois_sortby_category": pois_sortby_category,
@@ -451,6 +469,10 @@ def oracle_sql() -> dict[str, str]:
         "pois_radius": f"{_POI} SELECT poi_id, lon, lat FROM poi WHERE {hav} <= {float(D.RADIUS_Q)!r}",
         "pois_polygon": f"{_POI} SELECT poi_id, lon, lat FROM poi WHERE {D.sql_polygon_pred('lon', 'lat')}",
         "pois_corridor": f"{_POI} SELECT poi_id, lon, lat FROM poi WHERE {D.sql_corridor_pred('lon', 'lat')}",
+        "pois_polygon_bbox": (
+            f"{_POI} SELECT poi_id, lon, lat FROM poi WHERE "
+            f"{D.sql_polygon_pred('lon', 'lat')} AND {D.sql_bbox_pred('lon', 'lat')}"
+        ),
         "pois_polygon_holes": (
             f"{_POI} SELECT poi_id, lon, lat FROM poi WHERE "
             f"{D.sql_polygon_pred('lon', 'lat')} "
