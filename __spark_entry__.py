@@ -121,6 +121,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("poi_id", "lon", "lat")
         )
 
+    def pois_multipolygon(spark, sf):
+        # Q7 analogue under the oracle: each polygon of a MultiPolygon is an
+        # independent compiled query; over DISJOINT parts the fan-out's
+        # union equals the OR of the per-part predicates
+        a = _geo_query(spark, sf, G.GeomSpec("polygon", list(D.POLY_Q) + [D.POLY_Q[0]]), 0.0)
+        b = _geo_query(spark, sf, G.GeomSpec("polygon", list(D.POLY2_Q) + [D.POLY2_Q[0]]), 0.0)
+        return a.unionByName(b)
+
     def pois_polygon_holes(spark, sf):
         # donut: POIs inside the interior ring are excluded (PostGIS
         # hole semantics, reference views.py:228-233)
@@ -353,6 +361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pois_polygon": pois_polygon,
         "pois_corridor": pois_corridor,
         "pois_polygon_bbox": pois_polygon_bbox,
+        "pois_multipolygon": pois_multipolygon,
         "pois_polygon_holes": pois_polygon_holes,
         "pois_sorted_limit": pois_sorted_limit,
         "pois_sortby_category": pois_sortby_category,
@@ -472,6 +481,11 @@ def oracle_sql() -> dict[str, str]:
         "pois_polygon_bbox": (
             f"{_POI} SELECT poi_id, lon, lat FROM poi WHERE "
             f"{D.sql_polygon_pred('lon', 'lat')} AND {D.sql_bbox_pred('lon', 'lat')}"
+        ),
+        "pois_multipolygon": (
+            f"{_POI} SELECT poi_id, lon, lat FROM poi WHERE "
+            f"{D.sql_polygon_pred('lon', 'lat')} "
+            f"OR {D.sql_polygon_pred('lon', 'lat', ring=D.POLY2_Q)}"
         ),
         "pois_polygon_holes": (
             f"{_POI} SELECT poi_id, lon, lat FROM poi WHERE "

@@ -45,6 +45,8 @@ RADIUS_Q = 25_000.0
 POLY_Q = [(10.0, 52.8), (11.2, 52.75), (11.5, 53.1), (10.6, 53.4), (9.9, 53.2)]
 #: convex interior ring (hole) fully inside POLY_Q, CCW (asserted in tests)
 HOLE_Q = [(10.4, 52.95), (10.9, 52.95), (10.9, 53.15), (10.4, 53.15)]
+#: second convex CCW ring, disjoint from POLY_Q (MultiPolygon fan-out gate)
+POLY2_Q = [(8.0, 52.2), (8.8, 52.15), (9.0, 52.5), (8.4, 52.7)]
 LINE_Q = [(9.0, 52.5), (10.0, 53.0), (11.0, 52.8)]
 CORRIDOR_M = 20_000.0
 
