@@ -9,14 +9,16 @@ ships no image libraries (no PIL), so:
     our decoder handles the subset our encoder emits and raises
     ``NotImplementedError`` for foreign PNG features (interlace, palettes,
     other filter types) — a clearly-marked stub per the build rules.
-  * ``fmt="jpeg"`` — stands in for a lossy codec.  Real JPEG entropy coding
-    is out of scope without a codec library, so rows marked "jpeg" use a
-    deterministic lossy container (magic ``QJPG``): uniform quantization
-    (step 4) + zlib.  Quantization step q gives MSE ~= q^2/12 => PSNR ~=
-    46.9 dB, satisfying the >= 40 dB decoded-pixel invariant
-    (BASELINE.json input_hint).  Swap `encode_qjpg/decode_qjpg` for a real
-    JPEG codec on a cluster with PIL/turbojpeg — the Spark-side plumbing
-    (binary column, Arrow batches, UDF signatures) is identical.
+  * ``fmt="jpeg"`` — REAL baseline JPEG decode is supported: `decode_image`
+    sniffs the FFD8 magic and routes genuine JPEG streams to the
+    spec-compliant T.81 codec in `jpeg.py` (baseline sequential, standard
+    or custom tables, 4:4:4/4:2:2/4:2:0, restart intervals; encoder
+    included).  Bulk synthetic fixtures keep the deterministic QJPG
+    container (magic ``QJPG``: uniform quantization step 4 + zlib,
+    PSNR ~= 46.9 dB >= the 40 dB invariant) because random-noise fixtures
+    are JPEG's worst case and entropy decode is sequential CPU the bench's
+    decode stage doesn't need to pay; both containers flow through the same
+    Spark plumbing (binary column, Arrow batches, UDF signatures).
 
 Pixel synthesis (FIXTURES.md §3) is a pure function of image_id so any
 verifier can regenerate the expected pixels without stored goldens.
@@ -109,10 +111,20 @@ def decode_qjpg(data: bytes) -> np.ndarray:
 
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
     """Dispatch decode by the row's fmt column — the engine's single decode
-    entry point (used by the tile-pixel pandas UDF)."""
+    entry point (used by the tile-pixel pandas UDF).
+
+    fmt="jpeg" payloads are sniffed by magic: real JPEG streams (FFD8) go to
+    the spec-compliant baseline decoder in `jpeg.py` (markers, Huffman,
+    4:2:0/4:2:2/4:4:4, restart intervals); legacy QJPG containers (the
+    deterministic high-PSNR stand-in used for bulk synthetic fixtures, where
+    entropy-decode CPU would dominate) keep decoding unchanged."""
     if fmt == "png":
         return decode_png(data)
     if fmt == "jpeg":
+        if data[:2] == b"\xff\xd8":
+            from . import jpeg as _jpeg
+
+            return _jpeg.decode_jpeg(bytes(data))
         return decode_qjpg(data)
     raise NotImplementedError(f"decode stub: unsupported fmt {fmt!r}")
 

@@ -1,0 +1,550 @@
+"""Baseline JPEG (ITU-T T.81) codec in pure numpy — no PIL/turbojpeg needed.
+
+Closes the round-1 gap "the decode path for real-world JPEG bytes is
+unproven": this is a spec-compliant BASELINE SEQUENTIAL decoder (SOF0):
+
+  * markers: SOI/APPn/COM/DQT/DHT/DRI/SOF0/SOS/RSTn/EOI
+  * components: grayscale or 3-component YCbCr
+  * sampling: any (h, v) factors <= 2 — covers 4:4:4, 4:2:2, 4:2:0
+  * restart intervals (DRI + RST0-7 resync, DC predictor reset)
+  * 8-bit precision, standard or custom quantization/Huffman tables
+
+plus a matching encoder (quality-scaled Annex K tables, 4:4:4 or 4:2:0,
+optional restart interval) used for round-trip tests and as a real lossy
+sink.  Everything derives from the public T.81 spec: canonical Huffman code
+construction (Annex C), zig-zag order (Figure A.6), the default tables of
+Annex K, and the JFIF YCbCr (BT.601) color transform.
+
+Entropy decode is sequential by nature; the hot engine path keeps the
+deterministic QJPG container for bulk synthetic data (imaging.py), while
+`imaging.decode_image` sniffs the FFD8 magic and routes real JPEG bytes
+here — the plumbing is identical either way.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ----------------------------------------------------------- constant tables
+
+#: zig-zag scan order: ZIGZAG[i] = block index (row*8+col) of the i-th coeff
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+_UNZIG = np.argsort(ZIGZAG)
+
+#: Annex K.1/K.2 default quantization tables (zig-zag order -> natural here)
+_Q_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+_Q_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+#: Annex K.3 default Huffman specs: (BITS[1..16], HUFFVAL)
+_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+            list(range(12)))
+_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+              list(range(12)))
+_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+     0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+     0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+     0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+     0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+     0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+     0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+     0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+     0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+     0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+     0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+     0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+     0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+     0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+     0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+
+#: orthonormal DCT-II matrix (C @ block @ C.T = 2D DCT)
+_C = np.zeros((8, 8))
+for _k in range(8):
+    _a = np.sqrt(0.125) if _k == 0 else 0.5
+    for _n in range(8):
+        _C[_k, _n] = _a * np.cos(np.pi * (2 * _n + 1) * _k / 16.0)
+
+
+def _canonical_codes(bits, huffval):
+    """Annex C: (BITS, HUFFVAL) -> {value: (code, length)}."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[huffval[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _decode_table(bits, huffval):
+    """{(length, code): value} for bit-serial decoding."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = huffval[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def quality_tables(quality: int = 90) -> tuple[np.ndarray, np.ndarray]:
+    """IJG quality scaling of the Annex K tables."""
+    quality = max(1, min(100, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    ql = np.clip((_Q_LUMA * scale + 50) // 100, 1, 255)
+    qc = np.clip((_Q_CHROMA * scale + 50) // 100, 1, 255)
+    return ql.astype(np.int64), qc.astype(np.int64)
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    px = px.astype(np.float64)
+    r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(y, cb, cr) -> np.ndarray:
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.stack([r, g, b], axis=-1).round(), 0, 255).astype(np.uint8)
+
+
+def _blockize(plane: np.ndarray) -> np.ndarray:
+    """(H, W) with H, W % 8 == 0 -> (n_blocks, 8, 8) in raster block order."""
+    bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+    return plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+
+
+def _unblockize(blocks: np.ndarray, bh: int, bw: int) -> np.ndarray:
+    return blocks.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+
+
+def _pad_to(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
+    """Edge-replicate pad to multiples of (mh, mw)."""
+    h, w = plane.shape
+    ph = (-h) % mh
+    pw = (-w) % mw
+    return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+
+
+# ----------------------------------------------------------------- bit I/O
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+
+
+class _BitReader:
+    """Entropy-segment reader with 0xFF00 unstuffing and RST awareness."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                # marker reached: per T.81 the decoder sees 1-bits beyond the
+                # segment (padding); do not consume the marker
+                self.acc = (self.acc << 8) | 0xFF
+                self.nbits += 8
+                return
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_to_marker(self) -> int:
+        """Drop partial bits, expect and consume an RST marker; returns its
+        index (0-7)."""
+        self.acc = 0
+        self.nbits = 0
+        while self.data[self.pos] != 0xFF or self.data[self.pos + 1] == 0x00:
+            self.pos += 1
+        marker = self.data[self.pos + 1]
+        if not 0xD0 <= marker <= 0xD7:
+            raise ValueError(f"expected RST marker, got {marker:#x}")
+        self.pos += 2
+        return marker - 0xD0
+
+
+def _huff_decode(reader: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        v = table.get((length, code))
+        if v is not None:
+            return v
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map `size` received bits to a signed amplitude."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _size_cat(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+# ----------------------------------------------------------------- encoder
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 90,
+                subsampling: str = "444", restart_interval: int = 0) -> bytes:
+    """(h, w, 3) uint8 RGB -> baseline JFIF JPEG bytes.
+
+    subsampling: '444' (no chroma subsampling) or '420' (2x2).
+    """
+    pixels = np.ascontiguousarray(pixels, dtype=np.uint8)
+    h, w, c = pixels.shape
+    assert c == 3, "RGB only"
+    if subsampling not in ("444", "420"):
+        raise NotImplementedError(f"subsampling {subsampling!r}")
+    sub = 2 if subsampling == "420" else 1
+
+    ql, qc = quality_tables(quality)
+    ql2 = ql.reshape(8, 8)
+    qc2 = qc.reshape(8, 8)
+
+    ycc = _rgb_to_ycbcr(pixels)
+    y = ycc[..., 0]
+    if sub == 2:
+        cbp = _pad_to(ycc[..., 1], 2, 2)
+        crp = _pad_to(ycc[..., 2], 2, 2)
+        cb = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean(axis=(1, 3))
+        cr = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean(axis=(1, 3))
+    else:
+        cb = ycc[..., 1]
+        cr = ycc[..., 2]
+
+    # per-component padded planes + quantized zig-zag blocks
+    def qblocks(plane: np.ndarray, q2: np.ndarray) -> np.ndarray:
+        p = _pad_to(plane, 8, 8) - 128.0
+        blocks = _blockize(p)
+        coef = np.einsum("km,nml,lj->nkj", _C, blocks, _C.T)
+        quant = np.round(coef / q2).astype(np.int64)
+        return quant.reshape(-1, 64)[:, ZIGZAG]
+
+    planes = [(_pad_to(y, 8 * sub, 8 * sub), ql2, 0),
+              (cb, qc2, 1), (cr, qc2, 1)]
+    comp_blocks = []
+    comp_bw = []
+    for plane, q2, _tid in planes:
+        comp_blocks.append(qblocks(plane, q2))
+        comp_bw.append(_pad_to(plane, 8, 8).shape[1] // 8)
+
+    dc_codes = [_canonical_codes(*_DC_LUMA), _canonical_codes(*_DC_CHROMA)]
+    ac_codes = [_canonical_codes(*_AC_LUMA), _canonical_codes(*_AC_CHROMA)]
+
+    wbits = _BitWriter()
+    pred = [0, 0, 0]
+
+    def put_block(ci: int, tid: int, zz: np.ndarray) -> None:
+        dc, ac_tab = dc_codes[tid], ac_codes[tid]
+        diff = int(zz[0]) - pred[ci]
+        pred[ci] = int(zz[0])
+        s = _size_cat(diff)
+        code, ln = dc[s]
+        wbits.write(code, ln)
+        if s:
+            wbits.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+        run = 0
+        last_nz = np.nonzero(zz[1:])[0]
+        end = (last_nz[-1] + 2) if len(last_nz) else 1
+        for k in range(1, end):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_tab[0xF0]  # ZRL
+                wbits.write(code, ln)
+                run -= 16
+            s = _size_cat(v)
+            code, ln = ac_tab[(run << 4) | s]
+            wbits.write(code, ln)
+            wbits.write(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+        if end < 64:
+            code, ln = ac_tab[0x00]  # EOB
+            wbits.write(code, ln)
+
+    # MCU interleave
+    mcus_x = -(-w // (8 * sub))
+    mcus_y = -(-h // (8 * sub))
+    mcu_count = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                wbits.flush()
+                wbits.buf += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                pred[:] = [0, 0, 0]
+            for v in range(sub):
+                for hh in range(sub):
+                    put_block(0, 0, comp_blocks[0][(my * sub + v) * comp_bw[0] + mx * sub + hh])
+            put_block(1, 1, comp_blocks[1][my * comp_bw[1] + mx])
+            put_block(2, 1, comp_blocks[2][my * comp_bw[2] + mx])
+            mcu_count += 1
+    wbits.flush()
+
+    # ----- assemble the stream
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
+    out += seg(0xDB, bytes([0]) + bytes(ql[ZIGZAG].tolist()))
+    out += seg(0xDB, bytes([1]) + bytes(qc[ZIGZAG].tolist()))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+    sof += bytes([1, (sub << 4) | sub, 0])  # Y
+    sof += bytes([2, 0x11, 1])              # Cb
+    sof += bytes([3, 0x11, 1])              # Cr
+    out += seg(0xC0, sof)
+    for cls, tid, (bits, vals) in ((0, 0, _DC_LUMA), (1, 0, _AC_LUMA),
+                                   (0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA)):
+        out += seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    out += seg(0xDA, sos)
+    out += wbits.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ----------------------------------------------------------------- decoder
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JPEG bytes -> (h, w, 3) uint8 RGB (grayscale replicated)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    restart_interval = 0
+    comps = None
+    h = w = None
+    scan = None
+
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        (seglen,) = struct.unpack(">H", data[pos:pos + 2])
+        body = data[pos + 2:pos + seglen]
+        if marker == 0xDB:  # DQT (may hold several tables)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                tbl = np.frombuffer(body[i + 1:i + 65], dtype=np.uint8).astype(np.int64)
+                nat = np.empty(64, dtype=np.int64)
+                nat[ZIGZAG] = tbl
+                qt[tq] = nat.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                cls, tid = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1:i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17:i + 17 + n])
+                huff[(cls, tid)] = _decode_table(bits, vals)
+                i += 17 + n
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+            prec = body[0]
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision")
+            h, w = struct.unpack(">HH", body[1:5])
+            nc = body[5]
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("progressive/arithmetic JPEG not supported")
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan = []
+            for si in range(ns):
+                cs, tt = body[1 + 2 * si], body[2 + 2 * si]
+                comp = next(c for c in comps if c["id"] == cs)
+                scan.append({**comp, "td": tt >> 4, "ta": tt & 0xF})
+            pos += seglen
+            break  # entropy data follows
+        pos += seglen
+
+    if scan is None or h is None:
+        raise ValueError("no SOS/SOF found")
+
+    hmax = max(c["h"] for c in scan)
+    vmax = max(c["v"] for c in scan)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    for c in scan:
+        bw = mcus_x * c["h"]
+        bh = mcus_y * c["v"]
+        c["coef"] = np.zeros((bh * bw, 8, 8), dtype=np.float64)
+        c["bw"] = bw
+
+    reader = _BitReader(data, pos)
+    pred = {c["id"]: 0 for c in scan}
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.align_to_marker()
+                for k in pred:
+                    pred[k] = 0
+            for c in scan:
+                dc_tab = huff[(0, c["td"])]
+                ac_tab = huff[(1, c["ta"])]
+                q = qt[c["tq"]]
+                for v in range(c["v"]):
+                    for hh in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int64)
+                        s = _huff_decode(reader, dc_tab)
+                        diff = _extend(reader.receive(s), s)
+                        pred[c["id"]] += diff
+                        zz[0] = pred[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(reader, ac_tab)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC index out of range")
+                            zz[k] = _extend(reader.receive(s), s)
+                            k += 1
+                        block = np.zeros(64, dtype=np.float64)
+                        block[ZIGZAG] = zz
+                        bi = (my * c["v"] + v) * c["bw"] + mx * c["h"] + hh
+                        c["coef"][bi] = block.reshape(8, 8) * q
+            mcu_count += 1
+
+    # IDCT all blocks per component, reassemble, upsample, crop
+    planes = []
+    for c in scan:
+        spatial = np.einsum("km,nml,lj->nkj", _C.T, c["coef"], _C) + 128.0
+        bh = mcus_y * c["v"]
+        plane = _unblockize(spatial, bh, c["bw"])
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        planes.append(plane[:h, :w])
+
+    if len(planes) == 1:
+        g = np.clip(planes[0].round(), 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
+    return _ycbcr_to_rgb(planes[0], planes[1], planes[2])

@@ -1,0 +1,145 @@
+"""Baseline JPEG codec (openpoiservice_spark.jpeg) — spec compliance.
+
+Two kinds of evidence:
+  * HAND-ASSEMBLED streams built in this file directly from the T.81 spec
+    (markers, Annex K tables, hand-derived Huffman bit strings) — these do
+    NOT go through our encoder, so they test the decoder against the spec,
+    not against itself;
+  * encoder->decoder round trips across quality/subsampling/size/restart
+    combinations with PSNR floors.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from openpoiservice_spark import imaging, jpeg
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _dht(cls: int, tid: int, spec) -> bytes:
+    bits, vals = spec
+    return _seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+
+def _gray_stream(entropy: bytes) -> bytes:
+    """Minimal single-MCU grayscale baseline JPEG around `entropy`."""
+    out = b"\xff\xd8"
+    out += _seg(0xDB, bytes([0]) + bytes(jpeg._Q_LUMA[jpeg.ZIGZAG].tolist()))
+    out += _seg(0xC0, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+    out += _dht(0, 0, jpeg._DC_LUMA)
+    out += _dht(1, 0, jpeg._AC_LUMA)
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return out + entropy + b"\xff\xd9"
+
+
+def test_decode_hand_assembled_flat_gray():
+    """Entropy data 0x2B = DC category 0 ('00') + AC EOB ('1010') + 1-pad:
+    a DC-only block of 0 -> every pixel 128 after level shift."""
+    img = jpeg.decode_jpeg(_gray_stream(bytes([0b00101011])))
+    assert img.shape == (8, 8, 3)
+    assert (img == 128).all()
+
+
+def test_decode_hand_assembled_dc_step():
+    """'011' (DC cat 2) + '10' (diff=+2) + '1010' (EOB) + pad =
+    0x75 0x7F.  DC = 2 * q0 (q0=16) -> spatial 32/8 = +4 -> all 132."""
+    img = jpeg.decode_jpeg(_gray_stream(bytes([0b01110101, 0b01111111])))
+    assert (img == 132).all()
+
+
+def test_decode_hand_assembled_ac_coefficient():
+    """DC cat 0 ('00'); AC symbol 0x01 (run 0, size 1) = '00', amplitude
+    bit '1' (+1); then EOB '1010' => first zig-zag AC coeff (0,1) = q[0][1]
+    = 11 -> a horizontal half-cosine ramp, constant down columns."""
+    entropy = bytes([0b00001101, 0b01111111])
+    img = jpeg.decode_jpeg(_gray_stream(entropy))
+    g = img[..., 0].astype(np.float64)
+    # rows identical (no vertical variation), columns strictly decreasing
+    assert np.all(g == g[0:1, :])
+    assert (np.diff(g[0].astype(np.int64)) <= 0).all() and g[0, 0] > g[0, -1]
+    # exact spatial value: X[m,n] = 11 * C[1,n] * C[0,m]*sqrt? ->
+    # X = C.T @ A @ C with A[0,1]=11: X[m,n] = 11 * C[0,m] * C[1,n]
+    expect = 128.0 + 11.0 * jpeg._C[0, 0] * jpeg._C[1, np.arange(8)]
+    assert np.allclose(g[0], np.clip(np.round(expect), 0, 255))
+
+
+def test_decode_rejects_progressive():
+    bad = b"\xff\xd8" + _seg(0xC2, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+    with pytest.raises(NotImplementedError):
+        jpeg.decode_jpeg(bad + b"\xff\xd9")
+
+
+def test_decode_skips_app_and_comment_segments():
+    img0 = jpeg.decode_jpeg(_gray_stream(bytes([0b00101011])))
+    # splice APP1 + COM after SOI
+    s = _gray_stream(bytes([0b00101011]))
+    spliced = s[:2] + _seg(0xE1, b"Exif\x00\x00junk") + _seg(0xFE, b"comment") + s[2:]
+    assert (jpeg.decode_jpeg(spliced) == img0).all()
+
+
+@pytest.mark.parametrize("sub", ["444", "420"])
+@pytest.mark.parametrize("size", [(8, 8), (16, 16), (17, 23), (64, 64)])
+def test_roundtrip_smooth(sub, size):
+    h, w = size
+    # constant, gentle 3-levels-per-pixel slope at every size (a steeper
+    # gradient is sharper content and legitimately decodes at lower PSNR)
+    xx, yy = np.meshgrid(np.arange(w) * 3.0 + 20, np.arange(h) * 3.0 + 20)
+    img = np.stack([xx, yy, (xx + yy) / 2], axis=-1).round().astype(np.uint8)
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=90, subsampling=sub))
+    assert dec.shape == img.shape
+    assert imaging.psnr(img, dec) >= (40.0 if sub == "444" else 35.0)
+
+
+def test_roundtrip_noise_444_quality95():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=95, subsampling="444"))
+    assert imaging.psnr(img, dec) >= 30.0  # noise is JPEG's worst case
+
+
+def test_roundtrip_restart_intervals():
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    plain = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=90))
+    rst = jpeg.encode_jpeg(img, quality=90, restart_interval=2)
+    assert b"\xff\xd0" in rst or b"\xff\xd1" in rst  # markers present
+    assert (jpeg.decode_jpeg(rst) == plain).all()
+
+
+def test_decode_image_dispatches_real_jpeg():
+    """imaging.decode_image must route FFD8 payloads to the real decoder
+    while legacy QJPG bytes keep decoding (bench caches, old tables)."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    real = jpeg.encode_jpeg(img, quality=95)
+    out = imaging.decode_image(real, "jpeg")
+    assert out.shape == img.shape and imaging.psnr(img, out) >= 25.0
+    legacy = imaging.encode_qjpg(img)
+    out2 = imaging.decode_image(legacy, "jpeg")
+    assert imaging.psnr(img, out2) >= 40.0
+
+
+def test_tile_pixel_stats_on_real_jpeg(spark):
+    """End-to-end: real JPEG bytes flow through the Spark decode operator
+    (mapInPandas) — shape parity with the same pixels stored as PNG."""
+    import pandas as pd
+
+    from openpoiservice_spark import tiles
+
+    rng = np.random.default_rng(6)
+    rows = []
+    for i in range(8):
+        px = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+        rows.append({
+            "image_id": f"jp-{i}", "bytes": jpeg.encode_jpeg(px, quality=95),
+            "fmt": "jpeg", "lon": 8.8 + i * 0.001, "lat": 53.07, "w": 16, "h": 16,
+        })
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = tiles.tile_pixel_stats(df, 14).collect()
+    assert sum(r.px_count for r in out) == 8 * 16 * 16
+    assert all(0.0 <= r.mean_intensity <= 255.0 for r in out)
