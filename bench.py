@@ -146,12 +146,20 @@ def run_queries(spark, prepared: str, sf_dir: str) -> tuple[dict, dict]:
 
     qcell = cell_parent_expr(F.col("cell"), C.DEFAULT_RES, _res)
     refine = make_refine_udf(line_spec, D.CORRIDOR_M, None)
+    # pushable lon/lat range implied by the buffered corridor (parquet
+    # row-group pruning — the derived-cell IN predicate cannot push)
+    _mnx, _mny, _mxx, _mxy = line_spec.buffered_bounds(D.CORRIDOR_M)
+    corridor_range = (
+        (F.col("lon") >= float(_mnx)) & (F.col("lon") <= float(_mxx))
+        & (F.col("lat") >= float(_mny)) & (F.col("lat") <= float(_mxy))
+    )
 
     # headline: spatial join (cover prefilter + exact refine) + raster tile
     # assignment + histogram rollup
     def corridor_tiles():
         hits = (
             pois.filter(F.col("pcell").isin(pcover))
+            .filter(corridor_range)
             .filter(qcell.isin(cover.tolist()))
             .filter(refine(F.col("lon"), F.col("lat")))
             .select("osm_id", "lon", "lat", "w", "h")
@@ -208,10 +216,12 @@ def run_queries(spark, prepared: str, sf_dir: str) -> tuple[dict, dict]:
             pois,
             meta_filter=lambda d: (
                 d.filter(F.col("pcell").isin(pcover))
+                .filter(corridor_range)
                 .filter(qcell.isin(cover.tolist()))
                 .filter(refine(F.col("lon"), F.col("lat")))
             ),
-            payload_prefilter=lambda d: d.filter(F.col("pcell").isin(pcover)),
+            payload_prefilter=lambda d: d.filter(
+                F.col("pcell").isin(pcover)).filter(corridor_range),
         )
         return (
             TI.tile_pixel_stats(hits, 14)

@@ -232,6 +232,15 @@ class PoiEngine:
         cq.cover = cover
         if cover.size == 0:
             return df.filter(F.lit(False))
+        # pushable lon/lat range conjunct (implied by the cover, so it never
+        # changes results): plain-column comparisons reach parquet row-group
+        # min/max stats, pruning byte ranges the derived-cell predicates
+        # cannot (the within-partition sort by cell clusters lon/lat)
+        mnx, mny, mxx, mxy = region.buffered_bounds(cq.refine_buffer)
+        df = df.filter(
+            (F.col("lon") >= float(mnx)) & (F.col("lon") <= float(mxx))
+            & (F.col("lat") >= float(mny)) & (F.col("lat") <= float(mxy))
+        )
         pcover = np.unique(cells.cell_parent(cover, cells.PARTITION_RES)).tolist()
         cell_col = (
             F.col("cell") if res == cells.DEFAULT_RES
