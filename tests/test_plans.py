@@ -154,3 +154,20 @@ def test_filter_payload_two_phase(spark, fixture_paths):
     plan = _plan(two).split("== Initial Plan ==")[0]  # AQE repeats the tree
     assert "BroadcastHashJoin" in plan
     assert plan.count("ArrowEvalPython") == 1  # refine on the meta side only
+
+
+def test_lonlat_range_reaches_parquet_scan(spark, fixture_paths):
+    """The cover-implied lon/lat range conjunct must appear in PushedFilters
+    (plain columns -> row-group min/max pruning), unlike the derived cell
+    expression which cannot push."""
+    from openpoiservice_spark import fixtures
+    from openpoiservice_spark.api import PoiEngine
+
+    eng = PoiEngine(spark, fixture_paths["prepared"])
+    payload = {"request": "pois",
+               "geometry": {"geojson": {"type": "Point",
+                                        "coordinates": list(fixtures.POINT_P)},
+                            "buffer": 300}}
+    plan = _plan(eng.pois_df(payload))
+    pushed = plan.split("PushedFilters")[1][:400]
+    assert "lon" in pushed and "lat" in pushed
