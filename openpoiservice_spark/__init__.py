@@ -13,7 +13,10 @@ Architecture (see SURVEY.md for the full blueprint):
     point-in-geometry refinement — the Spark-native analogue of the
     reference's GiST index scan + `_st_dwithin` recheck
     (reference misc.sql:50-52).
-  * all per-row compute in Arrow-vectorized pandas UDFs (no per-row Python).
+  * the import path is pure native Spark expressions (zero Python in the
+    ingest loop); query-time per-row compute is Arrow-vectorized pandas
+    UDFs (never per-row Python), kept off any scan that carries the binary
+    payload column (tiles.filter_payload two-phase selection).
   * driver-side query compilation mirroring the reference's request
     lifecycle (validation, category-group expansion, geometry admission).
 """
