@@ -126,18 +126,33 @@ def _canonical_codes(bits, huffval):
     return codes
 
 
+_LUT_CACHE: dict[bytes, np.ndarray] = {}
+
+
 def _decode_table(bits, huffval):
-    """{(length, code): value} for bit-serial decoding."""
-    out = {}
+    """16-bit peek LUT: lut[code16] = (value << 5) | code_length.
+
+    Every canonical code, left-aligned to 16 bits, owns a contiguous range
+    of the table — Huffman decode becomes one peek + one array index
+    instead of up to 16 bit-serial dictionary probes.  Cached per table
+    spec: standard-table streams share four LUTs across all decodes."""
+    key = bytes(bits) + bytes(huffval)
+    cached = _LUT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    lut = np.zeros(1 << 16, dtype=np.int32)
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            out[(length, code)] = huffval[k]
+            base = code << (16 - length)
+            span = 1 << (16 - length)
+            lut[base:base + span] = (huffval[k] << 5) | length
             code += 1
             k += 1
         code <<= 1
-    return out
+    _LUT_CACHE[key] = lut
+    return lut
 
 
 def quality_tables(quality: int = 90) -> tuple[np.ndarray, np.ndarray]:
@@ -218,32 +233,41 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
-        b = self.data[self.pos]
-        if b == 0xFF:
-            nxt = self.data[self.pos + 1]
-            if nxt == 0x00:
-                self.pos += 2
+        try:
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1]
+                if nxt == 0x00:
+                    self.pos += 2
+                else:
+                    # marker reached: per T.81 the decoder sees 1-bits beyond
+                    # the segment (padding); do not consume the marker
+                    self.acc = (self.acc << 8) | 0xFF
+                    self.nbits += 8
+                    return
             else:
-                # marker reached: per T.81 the decoder sees 1-bits beyond the
-                # segment (padding); do not consume the marker
-                self.acc = (self.acc << 8) | 0xFF
-                self.nbits += 8
-                return
-        else:
-            self.pos += 1
+                self.pos += 1
+        except IndexError:
+            raise ValueError("truncated JPEG stream") from None
         self.acc = (self.acc << 8) | b
         self.nbits += 8
 
-    def read_bit(self) -> int:
-        if self.nbits == 0:
+    def peek16(self) -> int:
+        while self.nbits < 16:
             self._fill()
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
+
+    def consume(self, n: int) -> None:
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
 
     def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if n == 0:
+            return 0
+        while self.nbits < n:
+            self._fill()
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.consume(n)
         return v
 
     def align_to_marker(self) -> int:
@@ -251,23 +275,24 @@ class _BitReader:
         index (0-7)."""
         self.acc = 0
         self.nbits = 0
-        while self.data[self.pos] != 0xFF or self.data[self.pos + 1] == 0x00:
-            self.pos += 1
-        marker = self.data[self.pos + 1]
+        try:
+            while self.data[self.pos] != 0xFF or self.data[self.pos + 1] == 0x00:
+                self.pos += 1
+            marker = self.data[self.pos + 1]
+        except IndexError:
+            raise ValueError("truncated JPEG stream") from None
         if not 0xD0 <= marker <= 0xD7:
             raise ValueError(f"expected RST marker, got {marker:#x}")
         self.pos += 2
         return marker - 0xD0
 
 
-def _huff_decode(reader: _BitReader, table: dict) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | reader.read_bit()
-        v = table.get((length, code))
-        if v is not None:
-            return v
-    raise ValueError("invalid Huffman code")
+def _huff_decode(reader: _BitReader, lut: np.ndarray) -> int:
+    entry = int(lut[reader.peek16()])
+    if entry == 0:
+        raise ValueError("invalid Huffman code")
+    reader.consume(entry & 0x1F)
+    return entry >> 5
 
 
 def _extend(v: int, size: int) -> int:

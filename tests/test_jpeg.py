@@ -143,3 +143,11 @@ def test_tile_pixel_stats_on_real_jpeg(spark):
     out = tiles.tile_pixel_stats(df, 14).collect()
     assert sum(r.px_count for r in out) == 8 * 16 * 16
     assert all(0.0 <= r.mean_intensity <= 255.0 for r in out)
+
+
+def test_truncated_stream_raises_cleanly():
+    rng = np.random.default_rng(7)
+    enc = jpeg.encode_jpeg(rng.integers(0, 256, (16, 16, 3), dtype=np.uint8))
+    for cut in (len(enc) // 3, len(enc) // 2, len(enc) - 3):
+        with pytest.raises(ValueError):
+            jpeg.decode_jpeg(enc[:cut])
