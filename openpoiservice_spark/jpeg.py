@@ -136,6 +136,8 @@ def _decode_table(bits, huffval):
     of the table — Huffman decode becomes one peek + one array index
     instead of up to 16 bit-serial dictionary probes.  Cached per table
     spec: standard-table streams share four LUTs across all decodes."""
+    if len(huffval) < sum(bits):
+        raise ValueError("truncated Huffman table")
     key = bytes(bits) + bytes(huffval)
     cached = _LUT_CACHE.get(key)
     if cached is not None:
@@ -456,8 +458,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             break
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG stream")
         (seglen,) = struct.unpack(">H", data[pos:pos + 2])
         body = data[pos + 2:pos + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated JPEG stream")
         if marker == 0xDB:  # DQT (may hold several tables)
             i = 0
             while i < len(body):
