@@ -70,6 +70,9 @@ _QVEC = ANN.query_vector(64, seed=7)
 _PLANES = ANN.hyperplanes(8, 64, seed=13)
 #: request filter for the Q2 category-restriction gate query
 _RESTRICT_IDS = sorted({cat for _, _, cat, _ in D.POOL})[:6]
+#: leaf ids present in the reference taxonomy but missing from the round-2
+#: subset table (full-parity gate pois_category_new_leaf)
+_NEW_LEAF_IDS = (299, 488)
 _CENTROIDS = ANN.ivf_centroids(16, 64, seed=21)
 
 
@@ -185,6 +188,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     "concat_ws(',', transform(kept, x -> CAST(x AS STRING)))"
                 ).alias("matched_cats"),
             )
+        )
+
+    def pois_category_new_leaf(spark, sf):
+        # full-taxonomy parity gate: 299 (amenity=cinema) and 488
+        # (shop=kiosk) exist in the reference's categories.yml:293,316 but
+        # were absent from the round-2 subset table — a reference user
+        # filtering on them got empty results; the full 333-leaf tree
+        # (taxonomy.py) now resolves them
+        view = D.spark_poi_view(spark, sf)
+        return (
+            view.filter(F.expr(D.sql_bbox_pred("lon", "lat")))
+            .filter(F.col("cat").isin(list(_NEW_LEAF_IDS)))
+            .select("poi_id", "cat", "lon", "lat")
         )
 
     def knn_100(spark, sf):
@@ -366,6 +382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pois_sorted_limit": pois_sorted_limit,
         "pois_sortby_category": pois_sortby_category,
         "pois_category_restrict": pois_category_restrict,
+        "pois_category_new_leaf": pois_category_new_leaf,
         "knn_100": knn_100,
         "cells_hist_r12": cells_hist,
         "tiles_z14": tiles_z14,
@@ -504,6 +521,11 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE {D.sql_bbox_pred('lon', 'lat')} ORDER BY cat, poi_id LIMIT 499"
         ),
         "pois_category_restrict": _sql_category_restrict(),
+        "pois_category_new_leaf": (
+            f"{_POI} SELECT poi_id, cat, lon, lat FROM poi "
+            f"WHERE {D.sql_bbox_pred('lon', 'lat')} "
+            f"AND cat IN ({', '.join(str(i) for i in _NEW_LEAF_IDS)})"
+        ),
         "cells_hist_r12": (
             f"{_POI} SELECT {D.sql_cell('lon', 'lat', _GEO_RES)} AS cell, count(*) AS n "
             "FROM poi GROUP BY 1"

@@ -183,6 +183,28 @@ def test_group_of_category_and_listing():
     assert listing["tourism"]["children"]["tourism"]["artwork"] == 621
 
 
+def test_taxonomy_full_parity():
+    # full reference-hierarchy coverage: 16 groups / 333 leaf mappings
+    # (reference categories.yml:1-428), every group expandable
+    group_index, _, cat_ids_index, cat_to_group = taxonomy.indices()
+    assert len(group_index) == 16
+    assert len(cat_ids_index) == 333
+    assert taxonomy.expand_group_ids(sorted(group_index), []) == sorted(cat_ids_index)
+    # ids previously missing/misnumbered in the round-2 subset table
+    assert taxonomy.categories_of_tags({"amenity": "cinema"}) == [299]
+    assert taxonomy.categories_of_tags({"shop": "kiosk"}) == [488]
+    assert taxonomy.categories_of_tags({"amenity": "recycling"}) == [172]
+    assert taxonomy.categories_of_tags({"emergency": "defibrillator"}) == [165]
+    # duplicate (amenity, drinking_water) resolves to the LATER group (565,
+    # sustenance) exactly like the reference's dict.update order
+    # (reference categories.py:47-51)
+    assert taxonomy.categories_of_tags({"amenity": "drinking_water"}) == [565]
+    # request=list payload carries the full hierarchy
+    listing = taxonomy.taxonomy_listing()
+    n = sum(len(v) for g in listing.values() for v in g["children"].values())
+    assert n == 333
+
+
 # ------------------------------------------------------------------ captions
 
 def test_caption_roundtrip():
