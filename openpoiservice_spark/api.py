@@ -353,22 +353,25 @@ class PoiEngine:
             return taxonomy.taxonomy_listing()
         if "geometry" not in payload:
             raise InvalidUsage("geometry required", 4002)
-        if req == "stats":
-            return self.stats(payload)
         cqs = compile_geometry(payload["geometry"])
         # the reference branches on the geojson TYPE, not the part count
-        # (views.py:122-131): any MultiPolygon — even 1-part — yields a list
+        # (views.py:122-131): any MultiPolygon — even 1-part — yields a list.
+        # The fan-out wraps request_pois, which serves BOTH pois and stats
+        # (views.py:126-131, query_builder request=='stats' branch), so stats
+        # fans out per polygon exactly like pois, and every response — stats
+        # included — carries the 'information' block (views.py:131,137).
+        build = self.stats if req == "stats" else self._feature_collection
         gj = (payload["geometry"] or {}).get("geojson") or {}
         if gj.get("type") != "MultiPolygon":
-            fc = self._feature_collection(payload, cqs[0])
-            fc["information"] = self._query_info(payload)
-            return fc
-        out = []
+            out = build(payload, cqs[0])
+            out["information"] = self._query_info(payload)
+            return out
+        outs = []
         for cq in cqs:  # MultiPolygon fan-out, each independently limited (Q7)
-            fc = self._feature_collection(payload, cq)
-            fc["information"] = self._query_info(payload)
-            out.append(fc)
-        return out
+            out = build(payload, cq)
+            out["information"] = self._query_info(payload)
+            outs.append(out)
+        return outs
 
     def _query_info(self, payload: dict) -> dict:
         # reference api/query_info.py:8-23
@@ -417,12 +420,13 @@ class PoiEngine:
             bbox = []
         return {"type": "FeatureCollection", "features": features, "bbox": bbox}
 
-    def stats_df(self, payload: dict) -> DataFrame:
+    def stats_df(self, payload: dict, cq: CompiledQuery | None = None) -> DataFrame:
         """Category histogram plan (reference query_builder.py:55-67):
         spatial filter -> explode categories -> groupBy(category).count().
         Explode (not explode_outer) reproduces count(category)'s NULL-skip;
         a POI with two matching categories counts twice (quirk Q8)."""
-        cq = compile_geometry(payload["geometry"])[0]
+        if cq is None:
+            cq = compile_geometry(payload["geometry"])[0]
         df = self._df.select("osm_type", "osm_id", "lon", "lat", "cell", "pcell", "category_ids")
         df = self._prefilter(df, cq)
         refine = make_refine_udf(cq.refine_spec, cq.refine_buffer, cq.refine_bbox)
@@ -438,11 +442,13 @@ class PoiEngine:
             ex = ex.filter(F.col("category").isin([int(c) for c in category_ids]))
         return ex.groupBy("category").agg(F.count("category").alias("count"))
 
-    def stats(self, payload: dict) -> dict:
+    def stats(self, payload: dict, cq: CompiledQuery | None = None) -> dict:
         """Nested stats JSON (reference generate_category_stats,
         query_builder.py:160-208): tiny result (<= 343 groups), rolled up on
-        the driver exactly like the reference."""
-        rows = self.stats_df(payload).collect()
+        the driver exactly like the reference.  `cq` selects one polygon of a
+        MultiPolygon fan-out (views.py:126-131 serves stats through the same
+        per-polygon loop as pois)."""
+        rows = self.stats_df(payload, cq).collect()
         _, _, cat_info, cat_to_group = taxonomy.indices()
         group_names = {gid: name for name, (gid, _) in taxonomy.CATEGORY_TREE.items()}
         places: dict = {"total_count": 0}

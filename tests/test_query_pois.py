@@ -327,6 +327,29 @@ def test_multipolygon_fan_out(engine):
     assert all("information" in fc for fc in out)
 
 
+def test_stats_multipolygon_fan_out(engine):
+    """Stats rides the same MultiPolygon per-polygon loop as pois
+    (reference views.py:126-131 wraps request_pois, which serves stats too):
+    a list of per-polygon stats dicts, each with 'information'."""
+    poly2 = [[[8.80, 53.08], [8.801, 53.08], [8.801, 53.081], [8.80, 53.081], [8.80, 53.08]]]
+    out = engine.request({"request": "stats",
+                          "geometry": {"geojson": {"type": "MultiPolygon",
+                                                   "coordinates": [POLY, poly2]},
+                                       "buffer": 0}})
+    assert isinstance(out, list) and len(out) == 2
+    assert all("information" in s and "places" in s for s in out)
+    # part 1 covers the polygon fixture rows; part 2 is empty
+    assert out[0]["places"]["total_count"] > 0
+    assert out[1]["places"]["total_count"] == 0
+    # single-geometry stats carries 'information' too (views.py:135-137)
+    single = engine.request({"request": "stats",
+                             "geometry": {"geojson": {"type": "Polygon",
+                                                      "coordinates": [POLY]},
+                                          "buffer": 0}})
+    assert "information" in single
+    assert single["places"]["total_count"] == out[0]["places"]["total_count"]
+
+
 def test_row_for_row_parity_with_numpy_oracle(engine):
     """Full row-level parity (not just counts): the flagship query's
     features must match an independent numpy-oracle assembly exactly —
