@@ -190,13 +190,32 @@ class PoiEngine:
         lin = prepare.read_lineage(self.spark, self.prepared_dir)
         if lin is None:
             return {}
+        # import/merge rows carry the pcell TOTAL after the run (merge
+        # dynamically overwrites whole pcells); stream rows carry per-BATCH
+        # appended deltas — so the live count is the latest snapshot plus
+        # every stream delta committed after it, not max_by alone (which
+        # would collapse to the last batch's count after streamed appends)
         rows = (
             lin.filter(F.col("status") == "committed")
             .groupBy("pcell")
-            .agg(F.expr("max_by(n_rows, ts)").alias("n_rows"))
+            .agg(
+                F.expr(
+                    "max_by(struct(n_rows, ts), ts) FILTER (WHERE op <> 'stream')"
+                ).alias("snap"),
+                F.expr(
+                    "collect_list(struct(n_rows, ts)) FILTER (WHERE op = 'stream')"
+                ).alias("deltas"),
+            )
             .collect()
         )
-        return {int(r.pcell): int(r.n_rows) for r in rows}
+        out: dict[int, int] = {}
+        for r in rows:
+            base = int(r.snap.n_rows) if r.snap is not None else 0
+            base_ts = float(r.snap.ts) if r.snap is not None else float("-inf")
+            out[int(r.pcell)] = base + sum(
+                int(d.n_rows) for d in (r.deltas or []) if float(d.ts) > base_ts
+            )
+        return out
 
     def _estimate_cover_rows(self, cover: np.ndarray, res: int) -> float:
         """Expected rows inside the cover, assuming uniform density within a

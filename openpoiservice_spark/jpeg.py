@@ -452,6 +452,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before the
+        # marker code byte — skip them rather than parsing 0xFF as a marker
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(data):
+            raise ValueError("truncated JPEG stream")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -500,6 +506,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError("progressive/arithmetic JPEG not supported")
         elif marker == 0xDA:  # SOS
+            if comps is None:
+                raise ValueError("SOS before SOF")
             ns = body[0]
             scan = []
             for si in range(ns):

@@ -142,13 +142,23 @@ def stream_sessionize(events, gap_s: int = 1800, watermark: str = "1 hour"):
             ts.sort()
             start, last, n = state.get if state.exists else (None, None, 0)
             for t in ts:
-                if last is not None and t - last > gap_s:
+                if last is None:
+                    start, last, n = t, t, 1
+                elif t - last > gap_s:
+                    # forward gap: close the open session, start a new one
                     closed.append((user_id, start, last, n))
-                    start, n = t, 0
-                if start is None:
-                    start = t
-                last = t
-                n += 1
+                    start, last, n = t, t, 1
+                elif t < start and start - t > gap_s:
+                    # late arrival too early to merge with the open session:
+                    # the batch twin would place it in an earlier (already
+                    # emitted) session — append mode cannot retract, so emit
+                    # it as its own single-event session
+                    closed.append((user_id, t, t, 1))
+                else:
+                    # in-order extension OR late-but-mergeable arrival: a
+                    # late t must never regress session_end / the timeout
+                    # (merge against state, don't overwrite)
+                    start, last, n = min(start, t), max(last, t), n + 1
             state.update((start, last, n))
             # close the open session when the user goes silent past the gap
             state.setTimeoutTimestamp((last + gap_s) * 1000)

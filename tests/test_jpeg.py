@@ -151,3 +151,28 @@ def test_truncated_stream_raises_cleanly():
     for cut in (len(enc) // 3, len(enc) // 2, len(enc) - 3):
         with pytest.raises(ValueError):
             jpeg.decode_jpeg(enc[:cut])
+
+
+def test_fill_bytes_before_marker():
+    """T.81 B.1.1.2: 0xFF fill bytes may pad before any marker code — they
+    must be skipped, not parsed as a marker with a bogus length."""
+    img = np.full((16, 16, 3), 128, dtype=np.uint8)
+    data = jpeg.encode_jpeg(img, quality=90)
+    # inject three fill bytes before the first post-SOI marker segment
+    padded = data[:2] + b"\xff\xff\xff" + data[2:]
+    assert padded[2:4] == b"\xff\xff"
+    out = jpeg.decode_jpeg(padded)
+    assert out.shape == (16, 16, 3)
+    np.testing.assert_array_equal(out, jpeg.decode_jpeg(data))
+
+
+def test_sos_before_sof_raises_cleanly():
+    img = np.full((8, 8, 3), 90, dtype=np.uint8)
+    data = bytearray(jpeg.encode_jpeg(img, quality=90))
+    # find SOF0 and SOS segments, move SOS body's marker in front of SOF by
+    # simply stripping the SOF segment
+    i = data.find(b"\xff\xc0")
+    (seglen,) = struct.unpack(">H", data[i + 2:i + 4])
+    del data[i:i + 2 + seglen]
+    with pytest.raises(ValueError, match="SOS before SOF"):
+        jpeg.decode_jpeg(bytes(data))

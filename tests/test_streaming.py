@@ -161,8 +161,12 @@ def test_stream_sessionize_stateful(spark, tmp_path):
     # user 1: session A (1000..1400, 3 events) closed by an 8600 s gap;
     # user 2: closed by EVENT-TIME TIMEOUT (watermark 10100-3600=6500 passes
     # 2500+1800); user 1's final session (10000..10100) stays open in state
-    chunk([(1, 1000), (1, 1200), (2, 2000)], "c0.parquet")
-    chunk([(1, 1400), (1, 10000), (1, 10100), (2, 2500)], "c1.parquet")
+    # user 3: batch 0 opens (5000..5600); batch 1 delivers a LATE event 5300
+    # (within watermark, inside the open session) — it must merge without
+    # regressing session_end, then 9000 closes (5000, 5600, 3) via the gap
+    chunk([(1, 1000), (1, 1200), (2, 2000), (3, 5000), (3, 5600)], "c0.parquet")
+    chunk([(1, 1400), (1, 10000), (1, 10100), (2, 2500), (3, 5300), (3, 9000)],
+          "c1.parquet")
 
     schema = T.StructType([
         T.StructField("user_id", T.LongType()),
@@ -178,4 +182,35 @@ def test_stream_sessionize_stateful(spark, tmp_path):
 
     rows = {(r.user_id, r.session_start, r.session_end, r.n_events)
             for r in spark.sql("SELECT * FROM sess").collect()}
-    assert rows == {(1, 1000, 1400, 3), (2, 2000, 2500, 2)}
+    assert rows == {(1, 1000, 1400, 3), (2, 2000, 2500, 2), (3, 5000, 5600, 3)}
+
+
+def test_pcell_stats_sum_stream_deltas(spark, tmp_path):
+    """Planner density stats: import/merge lineage rows are pcell TOTALS,
+    stream rows are per-batch DELTAS — the estimate must be the latest
+    snapshot plus every later stream delta (not max_by, which collapses to
+    the last batch's count after several streamed appends)."""
+    from openpoiservice_spark import prepare
+    from openpoiservice_spark.api import PoiEngine
+
+    d = str(tmp_path / "prepared")
+
+    def row(op, pcell, n, ts):
+        return dict(run_id="r", op=op, fingerprint="f", pcell=pcell, n_rows=n,
+                    approx_bytes=0, wall_ms=0, status="committed", ts=ts)
+
+    prepare._append_lineage(spark, d, [
+        row("stream", 5, 99, 0.5),   # superseded by the later import snapshot
+        row("import", 5, 100, 1.0),
+        row("stream", 5, 10, 2.0),
+        row("stream", 5, 7, 3.0),
+        row("import", 6, 40, 1.0),
+        row("merge", 6, 55, 2.0),    # merge rewrites the pcell: new total
+        row("stream", 7, 4, 1.0),    # stream-only pcell: deltas from zero
+        row("stream", 7, 5, 2.0),
+        row("import", 8, 20, 1.0),
+        row("stream", 8, 3, 4.0, ) | {"status": "failed"},  # ignored
+    ])
+    eng = object.__new__(PoiEngine)
+    eng.spark, eng.prepared_dir = spark, d
+    assert PoiEngine._load_pcell_stats(eng) == {5: 117, 6: 55, 7: 9, 8: 20}
