@@ -488,6 +488,7 @@ def oracle_sql() -> dict[str, str]:
     ring = list(D.POLY_Q) + [D.POLY_Q[0]]
     gx0, gy0 = D.sql_raster_axes("lon", "lat", 14)
     tx14, ty14 = D.sql_mercator_tile("lon", "lat", 14)
+    _SCALE14 = (1 << 14) * 256
     hav = D.sql_haversine("lon", "lat", D.POINT_Q[0], D.POINT_Q[1])
 
     out = {
@@ -532,16 +533,24 @@ def oracle_sql() -> dict[str, str]:
         ),
         "tiles_z14": f"{_POI} SELECT poi_id, {tx14} AS tx, {ty14} AS ty FROM poi",
         "tile_pixels_z14": (
+            # clamped to the zoom-14 grid [0, 2^14*256) exactly like
+            # tiles.assign_tiles (polar/edge rasters clip, never emit
+            # out-of-grid tile ids)
             f"{_POI}, g AS (SELECT poi_id, w, h, {gx0} AS gx0, {gy0} AS gy0 FROM poi), "
-            "a AS (SELECT poi_id, w, h, gx0, gy0, "
-            "CAST(floor(gx0 / 256.0) AS BIGINT) AS txA, "
-            "CAST(floor(gy0 / 256.0) AS BIGINT) AS tyA FROM g), "
-            "b AS (SELECT *, least((txA + 1) * 256 - gx0, w) AS nxA, "
-            "least((tyA + 1) * 256 - gy0, h) AS nyA FROM a), "
+            f"c AS (SELECT poi_id, greatest(least(gx0, {_SCALE14}), 0) AS gx0c, "
+            f"greatest(least(gx0 + w, {_SCALE14}), 0) - greatest(least(gx0, {_SCALE14}), 0) AS extx, "
+            f"greatest(least(gy0, {_SCALE14}), 0) AS gy0c, "
+            f"greatest(least(gy0 + h, {_SCALE14}), 0) - greatest(least(gy0, {_SCALE14}), 0) AS exty "
+            "FROM g), "
+            "a AS (SELECT poi_id, extx, exty, gx0c, gy0c, "
+            "CAST(floor(gx0c / 256.0) AS BIGINT) AS txA, "
+            "CAST(floor(gy0c / 256.0) AS BIGINT) AS tyA FROM c), "
+            "b AS (SELECT *, least((txA + 1) * 256 - gx0c, extx) AS nxA, "
+            "least((tyA + 1) * 256 - gy0c, exty) AS nyA FROM a), "
             "u AS (SELECT poi_id, txA AS tx, tyA AS ty, nxA * nyA AS px FROM b "
-            "UNION ALL SELECT poi_id, txA + 1, tyA, (w - nxA) * nyA FROM b "
-            "UNION ALL SELECT poi_id, txA, tyA + 1, nxA * (h - nyA) FROM b "
-            "UNION ALL SELECT poi_id, txA + 1, tyA + 1, (w - nxA) * (h - nyA) FROM b) "
+            "UNION ALL SELECT poi_id, txA + 1, tyA, (extx - nxA) * nyA FROM b "
+            "UNION ALL SELECT poi_id, txA, tyA + 1, nxA * (exty - nyA) FROM b "
+            "UNION ALL SELECT poi_id, txA + 1, tyA + 1, (extx - nxA) * (exty - nyA) FROM b) "
             "SELECT 14 AS z, tx, ty, count(*) AS n_images, CAST(sum(px) AS BIGINT) AS total_px "
             "FROM u WHERE px > 0 GROUP BY 1, 2, 3"
         ),

@@ -189,8 +189,10 @@ def raster_tile_spans(lon, lat, w, h, z: int):
       For each axis the raster overlaps at most ceil(64/256)+1 = 2 tiles, so
       the caller enumerates the <= 4 (tile, count) combinations from the
       interval-overlap counts returned here:
-      (txA, nxA, txB, nxB, tyA, nyA, tyB, nyB) where counts B are 0 when the
-      raster does not straddle a tile boundary on that axis.
+      (txA, nxA, txB, nxB, off) per axis, where counts B are 0 when the
+      raster does not straddle a tile boundary on that axis and `off` is the
+      number of pixels clipped below the grid edge (image-space offset of
+      the first surviving column/row).
     """
     xn, yn = mercator_norm(lon, lat)
     w = np.asarray(w, dtype=np.int64)
@@ -200,15 +202,24 @@ def raster_tile_spans(lon, lat, w, h, z: int):
     gy0 = np.floor(yn * scale - h / 2.0).astype(np.int64)
 
     def axis_spans(g0, extent):
-        tA = g0 // 256  # floor div: first tile touched
-        first_count = np.minimum((tA + 1) * 256 - g0, extent)
+        # clamp the pixel interval [g0, g0+extent) to the zoom-z grid
+        # [0, scale) — above ~85°N the mercator y goes negative and tile
+        # ids must stay in [0, 2^z), matching functions.tile_expr's clamp;
+        # clipped pixels produce no tile rows.  off = pixels clipped on the
+        # low side (callers offset image-space slices by it).
+        g0c = np.clip(g0, 0, scale)
+        g1c = np.clip(g0 + extent, 0, scale)
+        off = g0c - g0
+        ext = g1c - g0c
+        tA = g0c // 256  # floor div: first tile touched
+        first_count = np.minimum((tA + 1) * 256 - g0c, ext)
         tB = tA + 1
-        second_count = extent - first_count
-        return tA, first_count, tB, second_count
+        second_count = ext - first_count
+        return tA, first_count, tB, second_count, off
 
-    txA, nxA, txB, nxB = axis_spans(gx0, w)
-    tyA, nyA, tyB, nyB = axis_spans(gy0, h)
-    return gx0, gy0, (txA, nxA, txB, nxB), (tyA, nyA, tyB, nyB)
+    txA, nxA, txB, nxB, offx = axis_spans(gx0, w)
+    tyA, nyA, tyB, nyB, offy = axis_spans(gy0, h)
+    return gx0, gy0, (txA, nxA, txB, nxB, offx), (tyA, nyA, tyB, nyB, offy)
 
 
 def tile_pixel_counts(lon, lat, w, h, z: int):
@@ -217,7 +228,8 @@ def tile_pixel_counts(lon, lat, w, h, z: int):
     Returns (row_idx, tx, ty, px_count) flat arrays with px_count > 0 —
     exactly the rows the engine's tile-assignment operator must produce.
     """
-    _, _, (txA, nxA, txB, nxB), (tyA, nyA, tyB, nyB) = raster_tile_spans(lon, lat, w, h, z)
+    _, _, (txA, nxA, txB, nxB, _ox), (tyA, nyA, tyB, nyB, _oy) = raster_tile_spans(
+        lon, lat, w, h, z)
     n = len(txA)
     idx = np.arange(n, dtype=np.int64)
     rows = []

@@ -58,9 +58,15 @@ def assign_tiles(df: DataFrame, z: int) -> DataFrame:
     gy0 = F.floor(yn * scale - F.col("h") / 2.0).cast("long")
 
     def axis(g0, extent):
-        tA = F.floor(g0 / 256.0).cast("long")
-        nA = F.least((tA + 1) * 256 - g0, extent.cast("long"))
-        return tA, nA, tA + 1, extent.cast("long") - nA
+        # clamp the pixel interval to the grid [0, 2^z*256): above ~85°N the
+        # mercator y goes negative — tile ids must stay in [0, 2^z) like
+        # functions.tile_expr; clipped pixels emit no tile rows
+        g0c = F.greatest(F.least(g0, F.lit(int(scale))), F.lit(0))
+        g1c = F.greatest(F.least(g0 + extent.cast("long"), F.lit(int(scale))), F.lit(0))
+        ext = g1c - g0c
+        tA = F.floor(g0c / 256.0).cast("long")
+        nA = F.least((tA + 1) * 256 - g0c, ext)
+        return tA, nA, tA + 1, ext - nA
 
     txA, nxA, txB, nxB = axis(gx0, F.col("w"))
     tyA, nyA, tyB, nyB = axis(gy0, F.col("h"))
@@ -148,7 +154,7 @@ def tile_pixel_stats(df: DataFrame, z: int) -> DataFrame:
             lat = b["lat"].to_numpy()
             w = b["w"].to_numpy()
             h = b["h"].to_numpy()
-            gx0, gy0, (txA, nxA, _txB, nxB), (tyA, nyA, _tyB, nyB) = (
+            gx0, gy0, (txA, nxA, _txB, nxB, offx), (tyA, nyA, _tyB, nyB, offy) = (
                 imaging.raster_tile_spans(lon, lat, w, h, z)
             )
             ids = b["image_id"].to_numpy()
@@ -158,13 +164,19 @@ def tile_pixel_stats(df: DataFrame, z: int) -> DataFrame:
                    ("image_id", "z", "tx", "ty", "px_count", "sum_intensity", "mean_intensity")}
             for i in range(len(b)):
                 inten = imaging.decode_image(raws[i], fmts[i]).mean(axis=2, dtype=np.float64)
-                # column/row split indices inside the image
-                sx = int(nxA[i])
-                sy = int(nyA[i])
-                for tx, x_lo, x_hi in ((int(txA[i]), 0, sx), (int(txA[i]) + 1, sx, int(w[i]))):
+                # image-space split indices: grid-clipped pixels (offx/offy
+                # below the grid edge, anything past the clamped interval
+                # above it) fall outside every slice and emit no tile rows
+                x0 = int(offx[i])
+                sx = x0 + int(nxA[i])
+                x1 = sx + int(nxB[i])
+                y0 = int(offy[i])
+                sy = y0 + int(nyA[i])
+                y1 = sy + int(nyB[i])
+                for tx, x_lo, x_hi in ((int(txA[i]), x0, sx), (int(txA[i]) + 1, sx, x1)):
                     if x_lo >= x_hi:
                         continue
-                    for ty, y_lo, y_hi in ((int(tyA[i]), 0, sy), (int(tyA[i]) + 1, sy, int(h[i]))):
+                    for ty, y_lo, y_hi in ((int(tyA[i]), y0, sy), (int(tyA[i]) + 1, sy, y1)):
                         if y_lo >= y_hi:
                             continue
                         sub = inten[y_lo:y_hi, x_lo:x_hi]
@@ -239,12 +251,17 @@ def tile_pyramid_features(df: DataFrame, zooms: tuple[int, ...] = (10, 14)) -> D
                 hist, _ = np.histogram(lum, bins=8, range=(0.0, 256.0))
                 h0 = int(hist[0])
                 for z in zooms:
-                    _gx0, _gy0, (txA, nxA, _txB, _nxB), (tyA, nyA, _tyB, _nyB) = spans[z]
-                    sx, sy = int(nxA[i]), int(nyA[i])
-                    for tx, x_lo, x_hi in ((int(txA[i]), 0, sx), (int(txA[i]) + 1, sx, int(w[i]))):
+                    _gx0, _gy0, (txA, nxA, _txB, nxB, offx), (tyA, nyA, _tyB, nyB, offy) = spans[z]
+                    x0 = int(offx[i])
+                    sx = x0 + int(nxA[i])
+                    x1 = sx + int(nxB[i])
+                    y0 = int(offy[i])
+                    sy = y0 + int(nyA[i])
+                    y1 = sy + int(nyB[i])
+                    for tx, x_lo, x_hi in ((int(txA[i]), x0, sx), (int(txA[i]) + 1, sx, x1)):
                         if x_lo >= x_hi:
                             continue
-                        for ty, y_lo, y_hi in ((int(tyA[i]), 0, sy), (int(tyA[i]) + 1, sy, int(h[i]))):
+                        for ty, y_lo, y_hi in ((int(tyA[i]), y0, sy), (int(tyA[i]) + 1, sy, y1)):
                             if y_lo >= y_hi:
                                 continue
                             sub = lum[y_lo:y_hi, x_lo:x_hi]

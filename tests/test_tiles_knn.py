@@ -187,3 +187,53 @@ def test_knn_polar_fence(spark):
         assert {r.osm_id for r in got} == set(brute["osm_id"])
         np.testing.assert_allclose(
             sorted(r.distance for r in got), np.sort(brute["d"].to_numpy()), rtol=1e-9)
+
+
+def test_assign_tiles_clamps_at_grid_edges(spark):
+    """Polar rows: above ~85.05°N the mercator y is negative — tile ids must
+    stay in [0, 2^z) (matching functions.tile_expr) and clipped pixels must
+    emit no tile rows, in BOTH the native columns and the numpy oracle."""
+    z = 4
+    n = 1 << z
+    rows = [
+        ("polar_n", 10.0, 89.9, 64, 64),     # fully above the grid top
+        ("polar_s", 10.0, -89.9, 64, 64),    # fully below the grid bottom
+        ("edge_n", 10.0, 85.0511, 64, 64),   # straddles y=0
+        ("mid", 10.0, 50.0, 64, 64),         # ordinary row
+    ]
+    df = spark.createDataFrame(rows, "image_id string, lon double, lat double, w int, h int")
+    got = tiles.assign_tiles(df, z).select("image_id", "tx", "ty", "px_count").collect()
+    by_id = {}
+    for r in got:
+        assert 0 <= r.tx < n and 0 <= r.ty < n, r
+        by_id.setdefault(r.image_id, 0)
+        by_id[r.image_id] += r.px_count
+    # fully-out rows vanish; the straddler keeps only its in-grid pixels
+    assert "polar_s" not in by_id
+    assert by_id["mid"] == 64 * 64
+    assert 0 < by_id.get("edge_n", 0) <= 64 * 64
+    # numpy oracle agrees row-for-row
+    pdf = df.toPandas()
+    oracle = imaging.tile_pixel_counts(
+        pdf["lon"].to_numpy(), pdf["lat"].to_numpy(),
+        pdf["w"].to_numpy(), pdf["h"].to_numpy(), z)
+    exp = {}
+    for ridx, tx, ty, px in oracle:
+        assert 0 <= tx < n and 0 <= ty < n
+        exp.setdefault(pdf["image_id"][int(ridx)], 0)
+        exp[pdf["image_id"][int(ridx)]] += int(px)
+    assert exp == by_id
+    # pixel-intensity path: clipped slices stay in-bounds and in-grid
+    img = np.zeros((64, 64, 3), dtype=np.uint8)
+    png = imaging.encode_png(img)
+    pix_rows = [(i, png, "png", lo, la, 64, 64) for i, lo, la, _, _ in
+                [(r[0], r[1], r[2], r[3], r[4]) for r in rows]]
+    pdf2 = spark.createDataFrame(
+        pix_rows, "image_id string, bytes binary, fmt string, lon double, lat double, w int, h int")
+    stats = tiles.tile_pixel_stats(pdf2, z).collect()
+    assert all(0 <= s.tx < n and 0 <= s.ty < n for s in stats)
+    agg = {}
+    for s in stats:
+        agg.setdefault(s.image_id, 0)
+        agg[s.image_id] += s.px_count
+    assert agg == by_id
