@@ -187,35 +187,7 @@ class PoiEngine:
         planner statistics the reference's PostGIS ANALYZE supplied
         implicitly (and whose absence cost it 33x, reference
         misc.sql:113-143).  One bounded collect at engine construction."""
-        lin = prepare.read_lineage(self.spark, self.prepared_dir)
-        if lin is None:
-            return {}
-        # import/merge rows carry the pcell TOTAL after the run (merge
-        # dynamically overwrites whole pcells); stream rows carry per-BATCH
-        # appended deltas — so the live count is the latest snapshot plus
-        # every stream delta committed after it, not max_by alone (which
-        # would collapse to the last batch's count after streamed appends)
-        rows = (
-            lin.filter(F.col("status") == "committed")
-            .groupBy("pcell")
-            .agg(
-                F.expr(
-                    "max_by(struct(n_rows, ts), ts) FILTER (WHERE op <> 'stream')"
-                ).alias("snap"),
-                F.expr(
-                    "collect_list(struct(n_rows, ts)) FILTER (WHERE op = 'stream')"
-                ).alias("deltas"),
-            )
-            .collect()
-        )
-        out: dict[int, int] = {}
-        for r in rows:
-            base = int(r.snap.n_rows) if r.snap is not None else 0
-            base_ts = float(r.snap.ts) if r.snap is not None else float("-inf")
-            out[int(r.pcell)] = base + sum(
-                int(d.n_rows) for d in (r.deltas or []) if float(d.ts) > base_ts
-            )
-        return out
+        return prepare.load_pcell_stats(self.spark, self.prepared_dir)
 
     def _estimate_cover_rows(self, cover: np.ndarray, res: int) -> float:
         """Expected rows inside the cover, assuming uniform density within a
@@ -316,6 +288,15 @@ class PoiEngine:
                 "tags", F.map_from_entries(F.filter(F.map_entries(F.col("tags")), entry_pred))
             )
         return df
+
+    def knn_df(self, lon: float, lat: float, k: int, **kw) -> DataFrame:
+        """Top-k nearest POIs (kNN extension, SURVEY.md §2.3) — seeds the
+        ring radius from the engine's lineage density stats so the dense
+        common case is a single Spark job (round-2 latency item)."""
+        from . import knn as _knn
+
+        return _knn.knn(self._df.drop("bytes", "caption"), lon, lat, k,
+                        pcell_rows=self._pcell_rows, **kw)
 
     def pois_df(self, payload: dict, cq: CompiledQuery | None = None) -> DataFrame:
         """The POI query as a DataFrame plan (reference request_pois,

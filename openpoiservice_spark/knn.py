@@ -35,9 +35,58 @@ def _cell_dims_m(res: int, lat: float) -> tuple[float, float]:
     return w, h
 
 
+def seed_radius(lon: float, lat: float, k: int, pcell_rows: dict[int, int],
+                res: int = cells.DEFAULT_RES, max_rings: int = 4096) -> int | None:
+    """Initial Chebyshev ring radius from lineage density stats, sized so the
+    FIRST probe both returns >= k candidates AND already satisfies the
+    correctness fence in the common case (one Spark job instead of 2-4
+    driver-steered probes — the round-2 kNN latency item).
+
+    Density rho (rows per res-cell) comes from the query's own pcell, else
+    the 3x3 pcell neighbourhood, else the global mean.  Two lower bounds:
+      count:  (2r+1)^2 * rho >= C_SAFETY * k        (enough candidates)
+      fence:  r * min_dim >= F_SAFETY * d_k_est     (kth distance inside the
+              guaranteed radius), d_k_est = sqrt(k / (pi * rho_area))
+    Returns None when no stats are available (caller falls back to the
+    sqrt(k)/2 guess + doubling loop).
+    """
+    if not pcell_rows:
+        return None
+    per_pcell_cells = 4 ** (res - cells.PARTITION_RES)
+    pc = int(cells.cell_of(lon, lat, cells.PARTITION_RES))
+    n = pcell_rows.get(pc, 0)
+    if n <= 0:
+        _px, _py = cells.cell_xy(pc)
+        px0, py0 = int(_px), int(_py)
+        grid_p = 1 << cells.PARTITION_RES
+        neigh = [
+            pcell_rows.get(int(cells.pack_xy(x, y, cells.PARTITION_RES)), 0)
+            for x in range(max(px0 - 1, 0), min(px0 + 2, grid_p))
+            for y in range(max(py0 - 1, 0), min(py0 + 2, grid_p))
+        ]
+        nonzero = [v for v in neigh if v > 0]
+        n = (sum(nonzero) / len(nonzero)) if nonzero else (
+            sum(pcell_rows.values()) / max(len(pcell_rows), 1))
+    rho = max(n / per_pcell_cells, 1e-12)  # rows per res-cell
+    C_SAFETY, F_SAFETY = 3.0, 1.5
+    r_count = int(np.ceil((np.sqrt(C_SAFETY * k / rho) - 1.0) / 2.0))
+    w, h = _cell_dims_m(res, min(abs(lat), 89.99))
+    rho_area = rho / (w * h)  # rows per m^2
+    d_k = float(np.sqrt(k / (np.pi * rho_area)))
+    r_fence = int(np.ceil(F_SAFETY * d_k / min(w, h)))
+    return int(np.clip(max(r_count, r_fence, 1), 1, max_rings))
+
+
 def knn(df: DataFrame, lon: float, lat: float, k: int,
-        res: int = cells.DEFAULT_RES, max_rings: int = 4096) -> DataFrame:
-    """Top-k nearest rows to (lon, lat).  df needs lon/lat/cell/pcell columns."""
+        res: int = cells.DEFAULT_RES, max_rings: int = 4096,
+        pcell_rows: dict[int, int] | None = None,
+        probe_stats: dict | None = None) -> DataFrame:
+    """Top-k nearest rows to (lon, lat).  df needs lon/lat/cell/pcell columns.
+
+    `pcell_rows` (lineage density stats, prepare.load_pcell_stats) seeds the
+    initial ring radius so the dense common case is a SINGLE probe.
+    `probe_stats`, if a dict, receives {'probes', 'r0', 'fence_reprobe'}.
+    """
     if k <= 0:
         raise ValueError("k must be positive")
     spec = geo.GeomSpec("point", [[lon, lat]])
@@ -87,17 +136,23 @@ def knn(df: DataFrame, lon: float, lat: float, k: int,
 
     # one job per probe: the top-k itself doubles as the count probe (fewer
     # than k rows back => disk too small) AND the fence input (the k-th
-    # distance is read off the collected rows, no extra agg job)
-    r = max(1, int(np.ceil(np.sqrt(k) / 2.0)))
+    # distance is read off the collected rows, no extra agg job).  The
+    # density-seeded radius makes the first probe sufficient AND fenced in
+    # the common case; the doubling loop remains the stat-free fallback.
+    seeded = seed_radius(lon, lat, k, pcell_rows or {}, res, max_rings)
+    r = seeded if seeded is not None else max(1, int(np.ceil(np.sqrt(k) / 2.0)))
+    probes = 0
     while True:
         topk = topk_df(r)
         rows = topk.collect()
+        probes += 1
         if len(rows) >= k or r >= max_rings:
             break
         r = min(r * 2, max_rings)
 
     # correctness fence (step 3): the Chebyshev disk of R cells covers a
     # Euclidean ball of R * min(cell dims over the disk's latitude span)
+    fence_reprobe = False
     kth = max((row.distance for row in rows), default=None)
     if kth is not None and kth > r * min_dim_disk(r) and r < max_rings:
         # expand until the guaranteed radius covers d_k (fixed-point: the
@@ -106,4 +161,9 @@ def knn(df: DataFrame, lon: float, lat: float, k: int,
         while need < max_rings and need * min_dim_disk(need) < kth:
             need = min(need * 2, max_rings)
         topk = topk_df(need)
+        fence_reprobe = True
+        probes += 1
+    if probe_stats is not None:
+        probe_stats.update(probes=probes, r0=r if seeded is None else seeded,
+                           fence_reprobe=fence_reprobe)
     return topk

@@ -87,6 +87,43 @@ def read_lineage(spark: SparkSession, prepared_dir: str) -> DataFrame | None:
         return None
 
 
+def load_pcell_stats(spark: SparkSession, prepared_dir: str) -> dict[int, int]:
+    """Live row count per pcell from the lineage commit log — the planner
+    statistics the reference's PostGIS ANALYZE supplied implicitly (and
+    whose absence cost it 33x, reference misc.sql:113-143).
+
+    import/merge rows carry the pcell TOTAL after the run (merge dynamically
+    overwrites whole pcells); stream rows carry per-BATCH appended deltas —
+    so the live count is the latest snapshot plus every stream delta
+    committed after it, not max_by alone (which would collapse to the last
+    batch's count after streamed appends).  One bounded collect (commit-log
+    scale: O(runs x pcells))."""
+    lin = read_lineage(spark, prepared_dir)
+    if lin is None:
+        return {}
+    rows = (
+        lin.filter(F.col("status") == "committed")
+        .groupBy("pcell")
+        .agg(
+            F.expr(
+                "max_by(struct(n_rows, ts), ts) FILTER (WHERE op <> 'stream')"
+            ).alias("snap"),
+            F.expr(
+                "collect_list(struct(n_rows, ts)) FILTER (WHERE op = 'stream')"
+            ).alias("deltas"),
+        )
+        .collect()
+    )
+    out: dict[int, int] = {}
+    for r in rows:
+        base = int(r.snap.n_rows) if r.snap is not None else 0
+        base_ts = float(r.snap.ts) if r.snap is not None else float("-inf")
+        out[int(r.pcell)] = base + sum(
+            int(d.n_rows) for d in (r.deltas or []) if float(d.ts) > base_ts
+        )
+    return out
+
+
 def committed_pcells(spark: SparkSession, prepared_dir: str, fingerprint: str) -> set[int]:
     lin = read_lineage(spark, prepared_dir)
     if lin is None:

@@ -237,3 +237,32 @@ def test_assign_tiles_clamps_at_grid_edges(spark):
         agg.setdefault(s.image_id, 0)
         agg[s.image_id] += s.px_count
     assert agg == by_id
+
+
+def test_knn_single_probe_with_density_stats(spark, fixture_paths):
+    """Lineage-seeded radius: the dense-fixture case resolves in ONE probe
+    (no doubling, no fence re-probe) and returns exactly the brute-force
+    top-k (round-2 verdict item 3)."""
+    pois = _pois(spark, fixture_paths)
+    stats = prepare.load_pcell_stats(spark, fixture_paths["prepared"])
+    assert stats  # fixture prepare wrote lineage
+    P0, P1 = fixtures.POINT_P
+    ps = {}
+    got = knn.knn(pois, P0, P1, 10, pcell_rows=stats, probe_stats=ps).collect()
+    assert ps["probes"] == 1 and not ps["fence_reprobe"], ps
+    assert len(got) == 10
+    pdf = pois.select("image_id", "lon", "lat").toPandas()
+    from openpoiservice_spark import geo
+    d = geo.haversine_m(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), P0, P1)
+    brute = set(pdf["image_id"].to_numpy()[np.argsort(d, kind="stable")][:10])
+    assert {r.image_id for r in got} == brute
+
+
+def test_engine_knn_df_uses_stats(spark, fixture_paths):
+    from openpoiservice_spark.api import PoiEngine
+
+    eng = PoiEngine(spark, fixture_paths["prepared"])
+    P0, P1 = fixtures.POINT_P
+    ps = {}
+    rows = eng.knn_df(P0, P1, 5, probe_stats=ps).collect()
+    assert len(rows) == 5 and ps["probes"] == 1
