@@ -138,14 +138,18 @@ def ivf_train(sample: np.ndarray, n_centroids: int = 16, iters: int = 8,
 
 def ivf_assign_col(vec_col: Column, centroids: np.ndarray) -> Column:
     """Nearest-centroid id (argmax of dot, unit centroids = max cosine);
-    ties break to the LOWEST index — the same CASE ordering the oracle SQL
-    uses, so assignment is bit-identical across engines."""
-    dots = [_dot(vec_col, _qvec_lit(c)) for c in centroids]
-    best = F.greatest(*dots)
-    out = F.lit(len(centroids) - 1)
-    for i in range(len(centroids) - 2, -1, -1):
-        out = F.when(dots[i] == best, F.lit(i)).otherwise(out)
-    return out.cast("int")
+    ties break to the LOWEST index (array_position returns the FIRST match
+    — the same ordering the oracle SQL's CASE chain uses, so assignment is
+    bit-identical across engines).
+
+    The codebook ships as ONE array<array<double>> literal and the argmax
+    is transform + array_max + array_position: expression depth stays O(1)
+    in the codebook size, so a production codebook (C=256..4096) compiles
+    in constant plan depth instead of the C-deep nested-WHEN chain that
+    blows up Catalyst at C>=256 (round-2 verdict item 4)."""
+    cb = F.array(*[_qvec_lit(c) for c in centroids])
+    dots = F.transform(cb, lambda c: _dot(vec_col, c))
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
 
 
 def ivf_topk(emb: DataFrame, qvec, k: int = 10,

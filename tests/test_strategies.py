@@ -152,3 +152,41 @@ def test_ivf_trained_codebook_recall(spark):
         .groupBy("cell").count().collect()
     )
     assert len(stats) >= 6  # codebook actually spreads the data
+
+
+def test_ivf_production_codebook_c256(spark):
+    """Production-size codebook: C=256 must compile in O(1) plan depth
+    (transform + array_max + array_position over ONE array literal — the
+    round-2 CASE-chain blew up Catalyst here) and assign every row to the
+    SAME cell numpy argmax picks; ivf_topk at nprobe=8 keeps useful recall."""
+    import time
+
+    from openpoiservice_spark.operators import ann as ANN
+
+    rng = np.random.default_rng(11)
+    # clustered data (IVF's operating regime — on unstructured gaussians
+    # nprobe/C bounds recall by construction): 256 centers, 8 members each
+    centers = rng.normal(size=(256, 64)) * 3
+    vecs = np.vstack([c + rng.normal(size=(8, 64)) * 0.3 for c in centers])
+    emb = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    trained = ANN.ivf_train(vecs[::2], n_centroids=256, iters=4, seed=3)
+
+    t0 = time.time()
+    assigned = (
+        emb.withColumn("cell", ANN.ivf_assign_col(F.col("embedding"), trained))
+        .select("vec_id", "cell").collect()
+    )
+    compile_and_run = time.time() - t0
+    assert compile_and_run < 60, f"C=256 plan took {compile_and_run:.1f}s"
+    exp = np.argmax(vecs @ trained.T, axis=1)
+    got = {r.vec_id: r.cell for r in assigned}
+    assert all(got[i] == exp[i] for i in range(len(vecs)))
+
+    q = vecs[40]  # a cluster member: its cell must be among the 8 probed
+    topk = ANN.ivf_topk(emb, q, 10, trained, nprobe=8).collect()
+    brute = ANN.brute_topk(emb, q, 10).collect()
+    assert len(topk) == 10
+    recall = len({r.vec_id for r in topk} & {r.vec_id for r in brute}) / 10
+    assert recall >= 0.7, recall
