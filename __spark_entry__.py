@@ -356,8 +356,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def fingerprint(spark, sf):
         return TX.fingerprint(_docs(spark, sf))
 
+    def lsh_pairs_capped(spark, sf):
+        # skew guard END-TO-END under the oracle (round-2 verdict item 6):
+        # max_bucket=3 excludes real oversized buckets at both gate scales
+        # (sf0.001 has buckets of 7/4/4/4, sf0.01 a 4) — the capped result
+        # genuinely differs from the uncapped gate
+        return TX.lsh_candidate_pairs(_docs(spark, sf), max_bucket=3)
+
     def curate(spark, sf):
         return TX.curate(_docs(spark, sf), min_quality=0.5, langs=("en",))
+
+    def curate_capped(spark, sf):
+        # the cap's interaction with curate's keep-set, oracle-checked:
+        # excluded buckets drop near-dup pairs, so fewer losers are
+        # anti-joined away and MORE docs survive than uncapped curate
+        return TX.curate(_docs(spark, sf), min_quality=0.5, langs=("en",),
+                         max_bucket=3)
 
     def ann_brute(spark, sf):
         return ANN.brute_topk(_emb(spark, sf), _QVEC, 10)
@@ -398,6 +412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "minhash_signatures": minhash_sigs,
         "lsh_candidate_pairs": lsh_pairs,
+        "lsh_pairs_capped": lsh_pairs_capped,
         "near_dup_jaccard": near_dup,
         "simhash16": simhash16,
         "lang_id": lang_id,
@@ -405,6 +420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": token_counts,
         "doc_fingerprint": fingerprint,
         "curate_keep": curate,
+        "curate_capped": curate_capped,
         "ann_brute_top10": ann_brute,
         "ann_lsh_top10": ann_lsh,
         "ann_pairs": ann_pairs,
@@ -447,11 +463,22 @@ def _sql_banded_cte() -> str:
     return f"{_sql_minhash_cte()}, banded AS ({' UNION ALL '.join(bands)})"
 
 
-def _sql_lsh_pairs_cte() -> str:
+def _sql_lsh_pairs_cte(max_bucket: int | None = None) -> str:
+    if max_bucket is None:
+        return (
+            f"{_sql_banded_cte()}, pairs AS ("
+            "SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b "
+            "FROM banded l JOIN banded r ON l.band = r.band AND l.bhash = r.bhash "
+            "AND l.doc_id < r.doc_id)"
+        )
+    # skew-guard twin: buckets above the cap are excluded from pairing,
+    # exactly TX.lsh_candidate_pairs(max_bucket=...)
     return (
-        f"{_sql_banded_cte()}, pairs AS ("
-        "SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b "
-        "FROM banded l JOIN banded r ON l.band = r.band AND l.bhash = r.bhash "
+        f"{_sql_banded_cte()}, ok AS ("
+        f"SELECT band, bhash FROM banded GROUP BY 1, 2 HAVING count(*) <= {max_bucket}), "
+        "bok AS (SELECT b.* FROM banded b JOIN ok USING (band, bhash)), "
+        "pairs AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b "
+        "FROM bok l JOIN bok r ON l.band = r.band AND l.bhash = r.bhash "
         "AND l.doc_id < r.doc_id)"
     )
 
@@ -624,6 +651,10 @@ def oracle_sql() -> dict[str, str]:
             "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp FROM documents"
         ),
         "curate_keep": _sql_curate(),
+        "lsh_pairs_capped": (
+            f"WITH {_sql_lsh_pairs_cte(3)} SELECT doc_a, doc_b FROM pairs"
+        ),
+        "curate_capped": _sql_curate(3),
         "ann_brute_top10": (
             f"SELECT vec_id, round({_sql_cosine('embedding', _QVEC)}, 6) AS cosine "
             "FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10"
@@ -647,9 +678,9 @@ def _sql_category_restrict() -> str:
     )
 
 
-def _sql_near_dup() -> str:
+def _sql_near_dup(max_bucket: int | None = None) -> str:
     return (
-        f"WITH {_sql_lsh_pairs_cte()}, "
+        f"WITH {_sql_lsh_pairs_cte(max_bucket)}, "
         "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1), "
         "inter AS (SELECT p.doc_a, p.doc_b, count(*) AS n_inter "
         "FROM pairs p JOIN sh a ON a.doc_id = p.doc_a "
@@ -662,11 +693,11 @@ def _sql_near_dup() -> str:
     )
 
 
-def _sql_curate() -> str:
+def _sql_curate(max_bucket: int | None = None) -> str:
     # the four gates of TX.curate as one CTE chain over the documents table
     return (
         "WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)), "
-        f"losers AS (SELECT DISTINCT doc_b AS doc_id FROM ({_sql_near_dup()}) nd), "
+        f"losers AS (SELECT DISTINCT doc_b AS doc_id FROM ({_sql_near_dup(max_bucket)}) nd), "
         f"q AS (SELECT doc_id, quality FROM ({_sql_quality()}) qq), "
         f"l AS (SELECT doc_id, pred_lang FROM ({_sql_lang_id()}) ll) "
         "SELECT d.doc_id, l.pred_lang, q.quality FROM documents d "
