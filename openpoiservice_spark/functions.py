@@ -203,12 +203,14 @@ def make_refine_udf(spec: "_geo.GeomSpec", buffer_m: float,
     return refine
 
 
-def make_distance_udf(spec: "_geo.GeomSpec"):
+def make_distance_udf(spec: "_geo.GeomSpec", spheroid: bool = False):
     """Geodesic meters to the query geometry (reference ST_Distance at
-    query_builder.py:98; which geometry per quirk Q5 is the caller's job)."""
+    query_builder.py:98; which geometry per quirk Q5 is the caller's job).
+    `spheroid=True` computes WGS84 Vincenty for point geometries —
+    PostGIS-geography-exact output distances (geo.vincenty_m)."""
 
     @F.pandas_udf(T.DoubleType())
     def distance(lon: pd.Series, lat: pd.Series) -> pd.Series:
-        return pd.Series(spec.distance_m(lon.to_numpy(), lat.to_numpy()))
+        return pd.Series(spec.distance_m(lon.to_numpy(), lat.to_numpy(), spheroid=spheroid))
 
     return distance

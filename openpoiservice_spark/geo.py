@@ -7,9 +7,12 @@ measures meters on the WGS84 spheroid.  This module re-implements the needed
 subset in pure numpy so it can run inside Arrow-vectorized pandas UDFs:
 
   * point-to-point distance: haversine on the IUGG mean-radius sphere
-    (deviation from spheroidal geodesics < 0.6%% — membership parity is
+    (deviation from spheroidal geodesics < 0.6%%, asserted over the admitted
+    request envelope in tests/test_kernels.py — membership parity is
     guaranteed by the fixture synthesizer, which keeps every test point
-    >= 1.5 m away from any decision boundary; see FIXTURES.md §4).
+    >= 1.5 m away from any decision boundary; see FIXTURES.md §4).  For
+    PostGIS-geography-EXACT output distances, `vincenty_m` implements the
+    WGS84 spheroidal inverse (make_distance_udf(spec, spheroid=True)).
   * point-to-linestring / point-to-polygon distance: planar math in a local
     equirectangular projection centred on the query geometry (error << 1 m
     at the <= 2 km extents admitted by the reference's own request caps,
@@ -41,6 +44,92 @@ def haversine_m(lon1, lat1, lon2, lat2):
     dlon = np.radians(lon2) - np.radians(lon1)
     a = np.sin(dlat / 2.0) ** 2 + np.cos(rl1) * np.cos(rl2) * np.sin(dlon / 2.0) ** 2
     return 2.0 * EARTH_RADIUS_M * np.arcsin(np.minimum(1.0, np.sqrt(a)))
+
+
+#: WGS84 ellipsoid (PostGIS geography's datum).
+WGS84_A = 6378137.0
+WGS84_F = 1.0 / 298.257223563
+WGS84_B = WGS84_A * (1.0 - WGS84_F)
+
+
+def vincenty_m(lon1, lat1, lon2, lat2, iters: int = 50, tol: float = 1e-12):
+    """WGS84 spheroidal inverse distance (Vincenty 1975), vectorized.
+
+    Parity target: PostGIS geography ST_Distance (reference
+    query_builder.py:98 measures meters on the WGS84 spheroid).  Standard
+    published iteration; entries that fail to converge within `iters`
+    (near-antipodal pairs, ~0.002% of the sphere — never reachable through
+    the service's 2 km-buffer / 50 km²-area request caps) fall back to
+    haversine, whose error is bounded by the flattening (< 0.6%,
+    asserted in tests/test_kernels.py::test_haversine_vs_spheroid_bound).
+    """
+    lon1, lat1, lon2, lat2 = (
+        np.atleast_1d(np.asarray(x, dtype=np.float64)) for x in (lon1, lat1, lon2, lat2)
+    )
+    lon1, lat1, lon2, lat2 = np.broadcast_arrays(lon1, lat1, lon2, lat2)
+    U1 = np.arctan((1.0 - WGS84_F) * np.tan(np.radians(lat1)))
+    U2 = np.arctan((1.0 - WGS84_F) * np.tan(np.radians(lat2)))
+    L = np.radians(lon2 - lon1)
+    sinU1, cosU1 = np.sin(U1), np.cos(U1)
+    sinU2, cosU2 = np.sin(U2), np.cos(U2)
+
+    lam = L.copy()
+    sin_sig = np.zeros_like(L)
+    cos_sig = np.ones_like(L)
+    sigma = np.zeros_like(L)
+    sin_alpha = np.zeros_like(L)
+    cos2_alpha = np.ones_like(L)
+    cos_2sigm = np.zeros_like(L)
+    converged = np.zeros(L.shape, dtype=bool)
+    for _ in range(iters):
+        sin_lam, cos_lam = np.sin(lam), np.cos(lam)
+        sin_sig_i = np.sqrt(
+            (cosU2 * sin_lam) ** 2 + (cosU1 * sinU2 - sinU1 * cosU2 * cos_lam) ** 2
+        )
+        cos_sig_i = sinU1 * sinU2 + cosU1 * cosU2 * cos_lam
+        sigma_i = np.arctan2(sin_sig_i, cos_sig_i)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sin_alpha_i = np.where(sin_sig_i > 0, cosU1 * cosU2 * sin_lam / sin_sig_i, 0.0)
+            cos2_alpha_i = 1.0 - sin_alpha_i**2
+            cos_2sigm_i = np.where(
+                cos2_alpha_i > 0, cos_sig_i - 2.0 * sinU1 * sinU2 / cos2_alpha_i, 0.0
+            )
+        C = WGS84_F / 16.0 * cos2_alpha_i * (4.0 + WGS84_F * (4.0 - 3.0 * cos2_alpha_i))
+        lam_new = L + (1.0 - C) * WGS84_F * sin_alpha_i * (
+            sigma_i + C * sin_sig_i * (
+                cos_2sigm_i + C * cos_sig_i * (-1.0 + 2.0 * cos_2sigm_i**2))
+        )
+        # freeze every per-element quantity at its own convergence: each
+        # element's result is a function of its inputs only, independent of
+        # batch composition (Arrow batch boundaries must not perturb
+        # outputs, even at the 1e-8 m level)
+        upd = ~converged
+        sin_sig = np.where(upd, sin_sig_i, sin_sig)
+        cos_sig = np.where(upd, cos_sig_i, cos_sig)
+        sigma = np.where(upd, sigma_i, sigma)
+        cos2_alpha = np.where(upd, cos2_alpha_i, cos2_alpha)
+        cos_2sigm = np.where(upd, cos_2sigm_i, cos_2sigm)
+        converged |= upd & (np.abs(lam_new - lam) < tol)
+        lam = np.where(upd, lam_new, lam)
+        if converged.all():
+            break
+
+    u2 = cos2_alpha * (WGS84_A**2 - WGS84_B**2) / WGS84_B**2
+    A = 1.0 + u2 / 16384.0 * (4096.0 + u2 * (-768.0 + u2 * (320.0 - 175.0 * u2)))
+    B = u2 / 1024.0 * (256.0 + u2 * (-128.0 + u2 * (74.0 - 47.0 * u2)))
+    dsig = B * sin_sig * (
+        cos_2sigm
+        + B / 4.0 * (
+            cos_sig * (-1.0 + 2.0 * cos_2sigm**2)
+            - B / 6.0 * cos_2sigm * (-3.0 + 4.0 * sin_sig**2) * (-3.0 + 4.0 * cos_2sigm**2)
+        )
+    )
+    s = WGS84_B * A * (sigma - dsig)
+    s = np.where(sin_sig == 0, 0.0, s)  # coincident points
+    if not converged.all():
+        fb = haversine_m(lon1, lat1, lon2, lat2)
+        s = np.where(converged | (sin_sig == 0), s, fb)
+    return s
 
 
 def local_xy(lon, lat, lon0: float, lat0: float):
@@ -164,17 +253,22 @@ class GeomSpec:
             for h in self.holes
         ]
 
-    def distance_m(self, lon, lat):
+    def distance_m(self, lon, lat, spheroid: bool = False):
         """Vectorized distance (m) from query points to this geometry.
 
         Matches PostGIS ST_Distance semantics: 0 inside a polygon, geodesic
         meters otherwise (reference query_builder.py:86,98).  Point geometry
-        uses exact haversine; extended geometry uses the local plane.
+        uses exact haversine (`spheroid=True` switches to WGS84 Vincenty for
+        PostGIS-exact output); extended geometry uses the local plane, whose
+        spheroidal correction is second-order at the <= 2 km buffer /
+        <= 500 km linestring extents the request caps admit (bound asserted
+        in tests/test_kernels.py::test_haversine_vs_spheroid_bound).
         """
         lon = np.asarray(lon, dtype=np.float64)
         lat = np.asarray(lat, dtype=np.float64)
         if self.kind == "point":
-            return haversine_m(lon, lat, self.coords[0, 0], self.coords[0, 1])
+            fn = vincenty_m if spheroid else haversine_m
+            return fn(lon, lat, self.coords[0, 0], self.coords[0, 1])
         px, py = local_xy(lon, lat, self.lon0, self.lat0)
         if self.kind == "linestring":
             return dist_to_segments_m(px, py, self._xy)

@@ -281,3 +281,65 @@ def test_tile_pixel_counts_conserve_pixels():
     # at most 4 tiles per image
     counts = np.bincount(out[:, 0].astype(int), minlength=300)
     assert counts.max() <= 4
+
+
+# ------------------------------------------------------------------ geodesic
+
+def test_vincenty_equator_and_meridian_exact():
+    """Independent oracles for the WGS84 inverse: the equator is a circle of
+    radius a (arc length exact in closed form), and the meridian arc is a
+    1-D elliptic integral we evaluate here by high-resolution Simpson
+    quadrature — no geodesic library involved."""
+    a, f = geo.WGS84_A, geo.WGS84_F
+    e2 = f * (2 - f)
+    # equator: 1 deg and 90 deg arcs
+    for deg in (1.0, 90.0):
+        d = float(geo.vincenty_m(0.0, 0.0, deg, 0.0)[0])
+        assert abs(d - a * np.radians(deg)) < 1e-3, (deg, d)
+    # meridian: M(phi) = a(1-e2) * int dphi / (1 - e2 sin^2 phi)^(3/2)
+    for deg in (1.0, 45.0, 89.0):
+        phi = np.linspace(0.0, np.radians(deg), 200001)
+        integrand = (1 - e2 * np.sin(phi) ** 2) ** -1.5
+        h = phi[1] - phi[0]
+        simpson = h / 3 * (integrand[0] + integrand[-1]
+                           + 4 * integrand[1:-1:2].sum() + 2 * integrand[2:-1:2].sum())
+        expect = a * (1 - e2) * simpson
+        d = float(geo.vincenty_m(12.34, 0.0, 12.34, deg)[0])
+        assert abs(d - expect) < 1e-3, (deg, d, expect)
+
+
+def test_vincenty_properties():
+    rng = np.random.default_rng(17)
+    lon1 = rng.uniform(-180, 180, 500)
+    lat1 = rng.uniform(-89, 89, 500)
+    lon2 = rng.uniform(-180, 180, 500)
+    lat2 = rng.uniform(-89, 89, 500)
+    d12 = geo.vincenty_m(lon1, lat1, lon2, lat2)
+    d21 = geo.vincenty_m(lon2, lat2, lon1, lat1)
+    np.testing.assert_allclose(d12, d21, rtol=0, atol=1e-6)  # symmetry
+    assert float(geo.vincenty_m(7.1, 51.2, 7.1, 51.2)[0]) == 0.0  # identity
+    # near-antipodal convergence guard: finite, sane magnitude
+    d = float(geo.vincenty_m(0.0, 0.0, 179.7, 0.3)[0])
+    assert 1.9e7 < d < 2.1e7
+
+
+def test_haversine_vs_spheroid_bound():
+    """The documented error bound of the engine's haversine distances vs
+    PostGIS's WGS84 spheroid: < 0.6% relative (worst case ~0.56%, hit by
+    this sample at high latitude), measured
+    over the admitted request envelope (city-scale 2 km buffers up to
+    500 km corridors, all latitudes)."""
+    rng = np.random.default_rng(23)
+    lon1 = rng.uniform(-180, 180, 2000)
+    lat1 = rng.uniform(-85, 85, 2000)
+    # admitted-scale displacements: 50 m .. 500 km
+    dist = 10 ** rng.uniform(np.log10(50), np.log10(500_000), 2000)
+    bear = rng.uniform(0, 360, 2000)
+    lon2 = np.empty_like(lon1)
+    lat2 = np.empty_like(lat1)
+    for i in range(len(lon1)):
+        lon2[i], lat2[i] = geo.destination(lon1[i], lat1[i], bear[i], dist[i])
+    hav = geo.haversine_m(lon1, lat1, lon2, lat2)
+    vin = geo.vincenty_m(lon1, lat1, lon2, lat2)
+    rel = np.abs(hav - vin) / np.maximum(vin, 1.0)
+    assert float(rel.max()) < 0.006, float(rel.max())
