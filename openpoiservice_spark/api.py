@@ -226,11 +226,20 @@ class PoiEngine:
         # pushable lon/lat range conjunct (implied by the cover, so it never
         # changes results): plain-column comparisons reach parquet row-group
         # min/max stats, pruning byte ranges the derived-cell predicates
-        # cannot (the within-partition sort by cell clusters lon/lat)
+        # cannot (the within-partition sort by cell clusters lon/lat).
+        # Continuous-frame bounds beyond ±180 (antimeridian geometries)
+        # become a disjunction of the two wrapped ranges.
         mnx, mny, mxx, mxy = region.buffered_bounds(cq.refine_buffer)
+        if mxx - mnx >= 360.0:
+            lon_pred = F.lit(True)
+        elif mxx > 180.0:
+            lon_pred = (F.col("lon") >= float(mnx)) | (F.col("lon") <= float(mxx - 360.0))
+        elif mnx < -180.0:
+            lon_pred = (F.col("lon") <= float(mxx)) | (F.col("lon") >= float(mnx + 360.0))
+        else:
+            lon_pred = (F.col("lon") >= float(mnx)) & (F.col("lon") <= float(mxx))
         df = df.filter(
-            (F.col("lon") >= float(mnx)) & (F.col("lon") <= float(mxx))
-            & (F.col("lat") >= float(mny)) & (F.col("lat") <= float(mxy))
+            lon_pred & (F.col("lat") >= float(mny)) & (F.col("lat") <= float(mxy))
         )
         pcover = np.unique(cells.cell_parent(cover, cells.PARTITION_RES)).tolist()
         cell_col = (

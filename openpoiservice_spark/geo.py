@@ -133,10 +133,16 @@ def vincenty_m(lon1, lat1, lon2, lat2, iters: int = 50, tol: float = 1e-12):
 
 
 def local_xy(lon, lat, lon0: float, lat0: float):
-    """Project (lon, lat) to meters in an equirectangular plane at (lon0, lat0)."""
+    """Project (lon, lat) to meters in an equirectangular plane at (lon0, lat0).
+
+    The lon delta is wrapped into (-180, 180], so geometries specified in a
+    continuous frame across the antimeridian (e.g. a bbox ring running
+    170..190, see bbox_spec) measure correctly against data longitudes in
+    [-180, 180).  Ordinary geometries (<180 deg extent) are unaffected."""
     lon = np.asarray(lon, dtype=np.float64)
     lat = np.asarray(lat, dtype=np.float64)
-    x = (lon - lon0) * M_PER_DEG_LAT * np.cos(np.radians(lat0))
+    dlon = np.mod(lon - lon0 + 180.0, 360.0) - 180.0
+    x = dlon * M_PER_DEG_LAT * np.cos(np.radians(lat0))
     y = (lat - lat0) * M_PER_DEG_LAT
     return x, y
 
@@ -320,7 +326,14 @@ class GeomSpec:
 
 def bbox_spec(min_lon: float, min_lat: float, max_lon: float, max_lat: float) -> GeomSpec:
     """Envelope polygon from a bbox — the reference builds the same envelope
-    from the bbox corner pair (reference views.py:281-285)."""
+    from the bbox corner pair (reference views.py:281-285).
+
+    A bbox with min_lon > max_lon crosses the antimeridian (the PostGIS
+    geography behavior the reference inherits): the ring is built in a
+    continuous frame (max_lon + 360) — wrap-aware local_xy makes membership
+    and distance correct, and cells.cover_bbox splits the cover at ±180."""
+    if min_lon > max_lon:
+        max_lon += 360.0
     ring = [
         [min_lon, min_lat],
         [max_lon, min_lat],

@@ -113,17 +113,27 @@ def knn(df: DataFrame, lon: float, lat: float, k: int,
         space — expressed as lon/lat range predicates (pushed down to
         Parquet row-group min/max stats; within-partition sort by cell makes
         lon/lat strongly clustered) instead of a cell IN-list whose size
-        would grow O(r^2)."""
-        lon_lo = -180.0 + max(cx0 - r, 0) * 360.0 / grid_n
-        lon_hi = -180.0 + min(cx0 + r + 1, grid_n) * 360.0 / grid_n
+        would grow O(r^2).  The lon axis WRAPS at ±180 (a query near the
+        dateline must probe both sides; haversine distance is wrap-correct
+        already), the lat axis clamps at the poles."""
+        lon_lo = -180.0 + (cx0 - r) * 360.0 / grid_n
+        lon_hi = -180.0 + (cx0 + r + 1) * 360.0 / grid_n
         lat_lo = -90.0 + max(cy0 - r, 0) * 180.0 / grid_n
         lat_hi = -90.0 + min(cy0 + r + 1, grid_n) * 180.0 / grid_n
         pdisk = np.unique(
             cells.cover_bbox(lon_lo, lat_lo, lon_hi, lat_hi, cells.PARTITION_RES)
         ).tolist()
+        if lon_hi - lon_lo >= 360.0:
+            lon_pred = F.lit(True)
+        elif lon_lo < -180.0:
+            lon_pred = (F.col("lon") < lon_hi) | (F.col("lon") >= lon_lo + 360.0)
+        elif lon_hi > 180.0:
+            lon_pred = (F.col("lon") >= lon_lo) | (F.col("lon") < lon_hi - 360.0)
+        else:
+            lon_pred = (F.col("lon") >= lon_lo) & (F.col("lon") < lon_hi)
         return df.filter(
             F.col("pcell").isin(pdisk)
-            & (F.col("lon") >= lon_lo) & (F.col("lon") < lon_hi)
+            & lon_pred
             & (F.col("lat") >= lat_lo) & (F.col("lat") < lat_hi)
         )
 

@@ -266,3 +266,70 @@ def test_engine_knn_df_uses_stats(spark, fixture_paths):
     ps = {}
     rows = eng.knn_df(P0, P1, 5, probe_stats=ps).collect()
     assert len(rows) == 5 and ps["probes"] == 1
+
+
+def _dateline_df(spark, n=400, seed=31):
+    """Points straddling ±180 (half each side) with cell/pcell columns."""
+    from openpoiservice_spark.functions import cell_expr, cell_parent_expr
+    from openpoiservice_spark import cells as C
+
+    rng = np.random.default_rng(seed)
+    lon = np.where(rng.random(n) < 0.5,
+                   rng.uniform(179.0, 180.0, n), rng.uniform(-180.0, -179.0, n))
+    lat = rng.uniform(-5.0, 5.0, n)
+    df = spark.createDataFrame(
+        list(zip(range(n), lon.tolist(), lat.tolist())),
+        "poi_id long, lon double, lat double")
+    cell = cell_expr(F.col("lon"), F.col("lat"), C.DEFAULT_RES)
+    return (df.withColumn("cell", cell)
+              .withColumn("pcell", cell_parent_expr(F.col("cell"), C.DEFAULT_RES,
+                                                    C.PARTITION_RES)),
+            lon, lat)
+
+
+def test_dateline_bbox_returns_brute_force_rows(spark):
+    """A bbox crossing ±180 (min_lon > max_lon, PostGIS geography behavior)
+    through the full engine path — wrap-aware spec, split cover, wrapped
+    range pushdown — returns exactly the brute-force row set."""
+    from openpoiservice_spark import cells as C, geo
+    from openpoiservice_spark.functions import cell_parent_expr, make_refine_udf
+
+    df, lon, lat = _dateline_df(spark)
+    spec = geo.bbox_spec(179.4, -2.0, -179.5, 3.0)  # crosses the dateline
+    res = C.pick_cover_res(spec, 0.0)
+    cover = C.cover_geometry(spec, 0.0, res)
+    assert cover.size > 0
+    qcell = cell_parent_expr(F.col("cell"), C.DEFAULT_RES, res)
+    refine = make_refine_udf(spec, 0.0, None)
+    got = {r.poi_id for r in
+           df.filter(qcell.isin(cover.tolist()))
+             .filter(refine(F.col("lon"), F.col("lat"))).collect()}
+    brute = {int(i) for i in range(len(lon))
+             if ((lon[i] >= 179.4) or (lon[i] <= -179.5)) and -2.0 <= lat[i] <= 3.0}
+    assert brute and got == brute
+    # both sides of the dateline are represented
+    assert any(lon[i] > 0 for i in brute) and any(lon[i] < 0 for i in brute)
+
+
+def test_dateline_knn_probes_both_sides(spark):
+    from openpoiservice_spark import geo
+
+    df, lon, lat = _dateline_df(spark)
+    got = knn.knn(df, 179.99, 0.0, 15).collect()
+    d = geo.haversine_m(lon, lat, 179.99, 0.0)
+    brute = set(np.argsort(d, kind="stable")[:15].tolist())
+    assert {r.poi_id for r in got} == brute
+    got_lons = {float(lon[r.poi_id]) for r in got}
+    assert any(v > 0 for v in got_lons) and any(v < 0 for v in got_lons)
+
+
+def test_cover_bbox_wrap_unit():
+    from openpoiservice_spark import cells as C
+
+    wrapped = set(C.cover_bbox(179.0, -1.0, -179.0, 1.0, 10).tolist())
+    a = set(C.cover_bbox(179.0, -1.0, 180.0, 1.0, 10).tolist())
+    b = set(C.cover_bbox(-180.0, -1.0, -179.0, 1.0, 10).tolist())
+    assert wrapped == a | b
+    # continuous-frame spec (bounds of a dateline GeomSpec) gives the same
+    cont = set(C.cover_bbox(179.0, -1.0, 181.0, 1.0, 10).tolist())
+    assert cont == wrapped
