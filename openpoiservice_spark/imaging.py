@@ -120,7 +120,7 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
     entropy-decode CPU would dominate) keep decoding unchanged."""
     if fmt == "png":
         return decode_png(data)
-    if fmt == "jpeg":
+    if fmt in ("jpeg", "jpg"):  # real ingests carry both spellings
         if data[:2] == b"\xff\xd8":
             from . import jpeg as _jpeg
 

@@ -68,10 +68,17 @@ def test_decode_hand_assembled_ac_coefficient():
     assert np.allclose(g[0], np.clip(np.round(expect), 0, 255))
 
 
-def test_decode_rejects_progressive():
-    bad = b"\xff\xd8" + _seg(0xC2, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
-    with pytest.raises(NotImplementedError):
-        jpeg.decode_jpeg(bad + b"\xff\xd9")
+def test_decode_rejects_arithmetic_and_lossless():
+    # SOF2 (progressive) is SUPPORTED as of round 3; SOF9 (arithmetic) and
+    # SOF3 (lossless) stay clean NotImplementedError guards
+    for sof in (0xC9, 0xC3):
+        bad = b"\xff\xd8" + _seg(sof, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+        with pytest.raises(NotImplementedError):
+            jpeg.decode_jpeg(bad + b"\xff\xd9")
+    # a progressive SOF with no scans is a clean ValueError, not a crash
+    p = b"\xff\xd8" + _seg(0xC2, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(p + b"\xff\xd9")
 
 
 def test_decode_skips_app_and_comment_segments():
@@ -176,3 +183,70 @@ def test_sos_before_sof_raises_cleanly():
     del data[i:i + 2 + seglen]
     with pytest.raises(ValueError, match="SOS before SOF"):
         jpeg.decode_jpeg(bytes(data))
+
+
+# ------------------------------------------------------------- progressive
+
+def test_progressive_decodes_bit_exact_vs_baseline():
+    """SOF2 spectral selection + successive approximation: the progressive
+    scan script converges to EXACTLY the baseline encoder's quantized
+    coefficients, so both decodes must agree bit-for-bit — every size,
+    subsampling, and quality here exercises EOB runs, ZRL paths, and
+    refinement correction bits."""
+    rng = np.random.default_rng(3)
+    for size in ((8, 8), (16, 16), (17, 23), (64, 64)):
+        for sub in ("444", "420"):
+            for q in (50, 92):
+                img = (rng.integers(0, 256, size=(*size, 3)).astype(np.float64)
+                       * 0.35 + 120).astype(np.uint8)
+                base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=q, subsampling=sub))
+                prog = jpeg.decode_jpeg(
+                    jpeg.encode_jpeg_progressive(img, quality=q, subsampling=sub))
+                np.testing.assert_array_equal(prog, base, err_msg=f"{size} {sub} q{q}")
+
+
+def test_progressive_stress_noise_and_gradient():
+    """Pure noise maxes out coefficient magnitudes (ZRL + refinement bits);
+    a smooth gradient maxes out EOB runs — both must stay bit-exact."""
+    rng = np.random.default_rng(9)
+    noise = rng.integers(0, 256, size=(48, 40, 3), dtype=np.uint8)
+    gy, gx = np.mgrid[0:48, 0:40]
+    grad = np.stack([(gy * 5) % 256, (gx * 6) % 256, ((gx + gy) * 3) % 256],
+                    axis=-1).astype(np.uint8)
+    for img in (noise, grad):
+        for sub in ("444", "420"):
+            base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=85, subsampling=sub))
+            prog = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(img, quality=85, subsampling=sub))
+            np.testing.assert_array_equal(prog, base)
+
+
+def test_progressive_psnr_invariant():
+    """The engine's PSNR>=40dB lossy invariant holds through the
+    progressive path exactly as through baseline (same coefficients;
+    smooth content like test_roundtrip_smooth — noise is JPEG's worst
+    case at any scan shape)."""
+    xx, yy = np.meshgrid(np.arange(64) * 3.0 + 20, np.arange(64) * 3.0 + 20)
+    img = np.stack([xx, yy, (xx + yy) / 2], axis=-1).round().astype(np.uint8)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(img, quality=95))
+    assert imaging.psnr(img, out) >= 40.0
+
+
+def test_progressive_truncated_stream_raises():
+    img = np.full((16, 16, 3), 77, dtype=np.uint8)
+    data = jpeg.encode_jpeg_progressive(img, quality=90)
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(data[:len(data) // 3])
+
+
+def test_decode_image_routes_progressive(tmp_path):
+    """imaging.decode_image sniffs FFD8 and must handle progressive streams
+    through the same mapInPandas plumbing as baseline."""
+    from openpoiservice_spark import imaging
+
+    img = np.full((16, 16, 3), 0, dtype=np.uint8)
+    img[:8, :8] = [200, 30, 90]
+    data = jpeg.encode_jpeg_progressive(img, quality=90)
+    out = imaging.decode_image(data, "jpg")
+    assert out.shape == (16, 16, 3)
+    base = imaging.decode_image(jpeg.encode_jpeg(img, quality=90), "jpg")
+    np.testing.assert_array_equal(out, base)
