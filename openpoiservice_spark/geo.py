@@ -141,7 +141,13 @@ def local_xy(lon, lat, lon0: float, lat0: float):
     [-180, 180).  Ordinary geometries (<180 deg extent) are unaffected."""
     lon = np.asarray(lon, dtype=np.float64)
     lat = np.asarray(lat, dtype=np.float64)
-    dlon = np.mod(lon - lon0 + 180.0, 360.0) - 180.0
+    dlon = lon - lon0
+    # wrap only genuinely-crossing deltas: the plain difference stays
+    # bit-identical for every in-range geometry (frozen goldens), while
+    # mod() would perturb it by ~1 ulp everywhere
+    if np.any(np.abs(dlon) > 180.0):
+        dlon = np.where(np.abs(dlon) > 180.0,
+                        np.mod(dlon + 180.0, 360.0) - 180.0, dlon)
     x = dlon * M_PER_DEG_LAT * np.cos(np.radians(lat0))
     y = (lat - lat0) * M_PER_DEG_LAT
     return x, y
