@@ -145,6 +145,7 @@ def run_queries(spark, prepared: str, sf_dir: str) -> tuple[dict, dict]:
     TI.tile_pixel_stats(
         pois.sample(0.001, seed=2).select("image_id", "bytes", "fmt", "lon", "lat", "w", "h"), 14
     ).count()
+    K.knn(pois, D.POINT_Q[0], D.POINT_Q[1], 5).count()  # distance-UDF plan shape
 
     line_spec = G.GeomSpec("linestring", D.LINE_Q)
     cover = C.cover_geometry(line_spec, D.CORRIDOR_M, _res := 12)

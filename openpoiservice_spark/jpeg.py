@@ -591,7 +591,8 @@ def _emit_ac_refine(wbits, actab, blocks, order, ss: int, se: int, al: int) -> N
 
 
 def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 90,
-                            subsampling: str = "444") -> bytes:
+                            subsampling: str = "444",
+                            restart_interval: int = 0) -> bytes:
     """(h, w, 3) uint8 RGB -> progressive JFIF JPEG (SOF2) bytes.
 
     Scan script (the common spectral-selection + 1-bit successive-
@@ -652,33 +653,50 @@ def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 90,
     out += seg(0xC2, sof)
     out += seg(0xC4, bytes([0x00]) + bytes(_DC_FLAT[0]) + bytes(_DC_FLAT[1]))
     out += seg(0xC4, bytes([0x10]) + bytes(_AC_FLAT[0]) + bytes(_AC_FLAT[1]))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
 
-    def scan(body_fn, comps_tt, ss, se, ah, al) -> None:
+    def scan(emit, order, comps_tt, ss, se, ah, al) -> None:
+        """One SOS: `emit(wbits, chunk)` per restart chunk — each emit call
+        starts fresh (DC predictors / EOB runs reset at restarts, T.81
+        G.1.2/G.2), RSTn between chunks.  DC-scan restart units are MCUs:
+        for interleaved DC, `order` carries blocks-per-MCU groups."""
         out.extend(sos(comps_tt, ss, se, ah, al))
         wbits = _BitWriter()
-        body_fn(wbits)
+        ri = restart_interval
+        chunks = [order] if not ri else [order[i:i + ri] for i in range(0, len(order), ri)]
+        rst = 0
+        for j, chunk in enumerate(chunks):
+            flat = [u for grp in chunk for u in grp] if chunk and isinstance(chunk[0], list) else chunk
+            emit(wbits, flat)
+            if j < len(chunks) - 1:
+                wbits.flush()
+                wbits.buf += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
         wbits.flush()
         out.extend(wbits.buf)
 
+    # group DC order by MCU (restart units are MCUs for interleaved scans)
+    per_mcu = len(dc_order) // (mcus_x * mcus_y)
+    dc_mcus = [dc_order[i:i + per_mcu] for i in range(0, len(dc_order), per_mcu)]
+
     all_dc = [(1, 0x00), (2, 0x00), (3, 0x00)]
-    scan(lambda wb: _emit_dc_first(wb, dctab, comp_blocks, dc_order, 1),
-         all_dc, 0, 0, 0, 1)
-    scan(lambda wb: _emit_dc_refine(wb, comp_blocks, dc_order, 0),
-         all_dc, 0, 0, 1, 0)
+    scan(lambda wb, o: _emit_dc_first(wb, dctab, comp_blocks, o, 1),
+         dc_mcus, all_dc, 0, 0, 0, 1)
+    scan(lambda wb, o: _emit_dc_refine(wb, comp_blocks, o, 0),
+         dc_mcus, all_dc, 0, 0, 1, 0)
     for ci in range(3):
-        order = ac_order(ci)
         blocks = comp_blocks[ci]
         for (s0, s1) in ((1, 5), (6, 63)):
-            scan(lambda wb, o=order, b=blocks, a=s0, z=s1:
+            scan(lambda wb, o, b=blocks, a=s0, z=s1:
                  _emit_ac_first(wb, actab, b, o, a, z, 1),
-                 [(ci + 1, 0x00)], s0, s1, 0, 1)
+                 ac_order(ci), [(ci + 1, 0x00)], s0, s1, 0, 1)
     for ci in range(3):
-        order = ac_order(ci)
         blocks = comp_blocks[ci]
         for (s0, s1) in ((1, 5), (6, 63)):
-            scan(lambda wb, o=order, b=blocks, a=s0, z=s1:
+            scan(lambda wb, o, b=blocks, a=s0, z=s1:
                  _emit_ac_refine(wb, actab, b, o, a, z, 0),
-                 [(ci + 1, 0x00)], s0, s1, 1, 0)
+                 ac_order(ci), [(ci + 1, 0x00)], s0, s1, 1, 0)
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -919,13 +937,19 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             i = 0
             while i < len(body):
                 pq, tq = body[i] >> 4, body[i] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables")
-                tbl = np.frombuffer(body[i + 1:i + 65], dtype=np.uint8).astype(np.int64)
+                if pq == 0:  # 8-bit entries
+                    tbl = np.frombuffer(body[i + 1:i + 65], dtype=np.uint8).astype(np.int64)
+                    i += 65
+                elif pq == 1:  # 16-bit big-endian entries (high-quality files)
+                    tbl = np.frombuffer(body[i + 1:i + 129], dtype=">u2").astype(np.int64)
+                    i += 129
+                else:
+                    raise ValueError(f"invalid DQT precision {pq}")
+                if len(tbl) != 64:
+                    raise ValueError("truncated quantization table")
                 nat = np.empty(64, dtype=np.int64)
                 nat[ZIGZAG] = tbl
                 qt[tq] = nat.reshape(8, 8)
-                i += 65
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(body):

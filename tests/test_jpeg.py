@@ -250,3 +250,32 @@ def test_decode_image_routes_progressive(tmp_path):
     assert out.shape == (16, 16, 3)
     base = imaging.decode_image(jpeg.encode_jpeg(img, quality=90), "jpg")
     np.testing.assert_array_equal(out, base)
+
+
+def test_progressive_restart_intervals_bit_exact():
+    """RST markers inside progressive scans: DC predictors and EOB runs
+    reset per restart chunk on both sides — still bit-exact vs baseline."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (48, 40, 3), dtype=np.uint8)
+    base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=80))
+    for ri in (2, 7):
+        data = jpeg.encode_jpeg_progressive(img, quality=80, restart_interval=ri)
+        assert b"\xff\xd0" in data
+        np.testing.assert_array_equal(jpeg.decode_jpeg(data), base)
+
+
+def test_16bit_quant_tables():
+    """DQT pq=1 (16-bit big-endian entries, common in high-quality files):
+    same table widened to 16 bits must decode identically."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    data = jpeg.encode_jpeg(img, quality=90)
+    i = data.find(b"\xff\xdb")
+    (seglen,) = struct.unpack(">H", data[i + 2:i + 4])
+    pq_tq = data[i + 4]
+    tbl8 = data[i + 5:i + 5 + 64]
+    body16 = bytes([0x10 | (pq_tq & 0xF)]) + b"".join(
+        struct.pack(">H", b) for b in tbl8)
+    patched = (data[:i] + b"\xff\xdb" + struct.pack(">H", len(body16) + 2)
+               + body16 + data[i + 2 + seglen:])
+    np.testing.assert_array_equal(jpeg.decode_jpeg(patched), jpeg.decode_jpeg(data))
