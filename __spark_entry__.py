@@ -385,6 +385,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ann_ivf(spark, sf):
         return ANN.ivf_topk(_emb(spark, sf), _QVEC, 10, _CENTROIDS, nprobe=2)
 
+    def image_phash_pairs(spark, sf):
+        # image near-dup by 64-bit fingerprint: banded hamming LSH + exact
+        # popcount verify (operators/images.hamming_pairs).  The fingerprint
+        # column derives from the shared snip_fp64 snippet (planted <=2-bit
+        # clusters), so the DuckDB twin sees identical inputs.
+        from openpoiservice_spark.operators import images as IM
+
+        view = D.spark_poi_view(spark, sf).select(
+            "poi_id", F.expr(D.snip_fp64("poi_id")).alias("fp"))
+        return IM.hamming_pairs(view, col="fp", key="poi_id", max_dist=3, bands=4)
+
     return {
         "pois_bbox": pois_bbox,
         "pois_radius": pois_radius,
@@ -425,6 +436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_top10": ann_lsh,
         "ann_pairs": ann_pairs,
         "ann_ivf_top10": ann_ivf,
+        "image_phash_pairs": image_phash_pairs,
     }
 
 
@@ -662,6 +674,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_top10": _sql_ann_lsh(),
         "ann_pairs": _sql_ann_pairs(),
         "ann_ivf_top10": _sql_ann_ivf(),
+        "image_phash_pairs": _sql_phash_pairs(),
     }
     return out
 
@@ -818,4 +831,19 @@ def _sql_ann_pairs() -> str:
         f"round({cos} / ({nl} * {nr}), 6) AS cosine "
         "FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id "
         f"WHERE round({cos} / ({nl} * {nr}), 6) >= 0.35"
+    )
+
+
+def _sql_phash_pairs() -> str:
+    """DuckDB twin of operators/images.hamming_pairs over snip_fp64: 4x16-bit
+    band buckets -> candidate self-join -> exact bit_count(xor) <= 3."""
+    return (
+        f"{_POI}, fp AS (SELECT poi_id, {D.snip_fp64('poi_id')} AS fp FROM poi), "
+        "e AS (SELECT poi_id, fp, b.band, (fp >> (b.band * 16)) & 65535 AS bh "
+        "FROM fp, (VALUES (0), (1), (2), (3)) b(band)), "
+        "cand AS (SELECT DISTINCT l.poi_id AS key_a, r.poi_id AS key_b, "
+        "l.fp AS fa, r.fp AS fb FROM e l JOIN e r "
+        "ON l.band = r.band AND l.bh = r.bh AND l.poi_id < r.poi_id) "
+        "SELECT key_a, key_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming "
+        "FROM cand WHERE bit_count(xor(fa, fb)) <= 3"
     )

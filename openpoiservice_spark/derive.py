@@ -85,6 +85,26 @@ def snip_cat(pk: str = "pk") -> str:
     return f"(CASE ({pk} % 40) {whens} END)"
 
 
+def snip_fp64(pk: str = "poi_id") -> str:
+    """Deterministic 64-bit fingerprint with planted near-dup clusters.
+
+    Rows with pk % 37 == 0 fold into 540 groups (g = pk % 19980 — exactly
+    37*(m % 540) for pk = 37m, no division needed); group members share the
+    fingerprint except their low 2 bits (perturb = pk % 3), so within-group
+    hamming is <= 2 — the planted positives the banded hamming join must
+    find.  All other rows hash pk itself (64 well-spread bits).  Integer
+    ops only (+, *, %, &), non-negative results, identical in Spark SQL and
+    DuckDB; every subexpression parenthesized (& precedence differs)."""
+    def spread(x: str) -> str:
+        return (f"((({x} * 2654435761) % 2147483648) * 4294967296"
+                f" + (({x} * 2246822519) % 4294967296))")
+
+    g = f"({pk} % 19980)"
+    clustered = f"(({spread(g)} & -4) + ({pk} % 3))"
+    return (f"(CASE WHEN ({pk} % 37) = 0 THEN {clustered} "
+            f"ELSE {spread(f'({pk})')} END)")
+
+
 def snip_grp(cat: str = "cat") -> str:
     pairs = sorted({(c, g) for _, _, c, g in POOL})
     whens = " ".join(f"WHEN {c} THEN {g}" for c, g in pairs)

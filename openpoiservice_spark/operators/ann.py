@@ -173,6 +173,42 @@ def ivf_topk(emb: DataFrame, qvec, k: int = 10,
     )
 
 
+def write_ivf_table(emb: DataFrame, path: str,
+                    centroids: np.ndarray | None = None) -> None:
+    """Materialize the embedding table partitioned by nearest-centroid cell.
+
+    This is the IVF index's 100 TB shape: assignment is the one-pass JVM
+    expression (`ivf_assign_col`), the write clusters each cell into its own
+    directory, and `ivf_topk_table` probes become parquet PARTITION PRUNING
+    — nprobe/C of the bytes are even opened, vs the full-scan filter of
+    `ivf_topk` on an unindexed table."""
+    centroids = ivf_centroids() if centroids is None else centroids
+    (
+        emb.withColumn("ivf_cell", ivf_assign_col(F.col("embedding"), centroids))
+        .write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
+    )
+
+
+def ivf_topk_table(spark, path: str, qvec, k: int = 10,
+                   centroids: np.ndarray | None = None, nprobe: int = 2) -> DataFrame:
+    """Approximate top-k over a `write_ivf_table` layout: read only the
+    query's top-nprobe centroid partitions (directory pruning, verified in
+    tests/test_strategies.py by PartitionFilters), re-rank exactly."""
+    centroids = ivf_centroids() if centroids is None else centroids
+    q = np.asarray(qvec, dtype=np.float64)
+    probe = np.argsort(-(centroids @ q), kind="stable")[:nprobe]
+    cand = spark.read.parquet(path).filter(
+        F.col("ivf_cell").isin([int(i) for i in probe]))
+    return (
+        cand.select(
+            "vec_id",
+            F.round(cosine_col(F.col("embedding"), qvec), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(k)
+    )
+
+
 def bucket_stats(emb: DataFrame, planes: np.ndarray | None = None) -> DataFrame:
     """(bucket, n_vecs) histogram — pair with `max_bucket` to route
     degenerate buckets (e.g. all-zero embeddings) off the quadratic path."""

@@ -139,3 +139,113 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
             yield pd.DataFrame(out)
 
     return src.mapInPandas(run, schema=_FRAME_SCHEMA)
+
+
+_PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("dct_phash", T.LongType()),
+    ]
+)
+
+
+def dct_phash(df: DataFrame) -> DataFrame:
+    """64-bit DCT perceptual hash per image (classic pHash shape): decode ->
+    grayscale -> resize to 32x32 -> 2D DCT -> keep the 8x8 low-frequency
+    corner -> bit b set iff coefficient > the median of the 64.
+
+    mapInPandas, bytes cross Arrow once; the int64 output column is the
+    input of `phash_near_dup_pairs` (banded hamming join), which is where
+    the 10^12-row dedup actually scales — this stage is embarrassingly
+    parallel decode."""
+    from ..jpeg import _C as _DCT8  # orthonormal 8-point DCT basis
+
+    # 32-point orthonormal DCT-II basis (same construction as jpeg._C)
+    n = 32
+    basis = np.zeros((n, n))
+    for k in range(n):
+        a = np.sqrt(1.0 / n) if k == 0 else np.sqrt(2.0 / n)
+        basis[k] = a * np.cos(np.pi * (2 * np.arange(n) + 1) * k / (2 * n))
+
+    src = df.select("image_id", "bytes", "fmt")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids = b["image_id"].to_numpy()
+            raws = b["bytes"].to_numpy()
+            fmts = b["fmt"].to_numpy()
+            out = {"image_id": ids, "dct_phash": []}
+            for i in range(len(b)):
+                px = imaging.decode_image(raws[i], fmts[i]).astype(np.float64)
+                lum = px.mean(axis=2)
+                ys = (np.arange(n) * lum.shape[0] // n)
+                xs = (np.arange(n) * lum.shape[1] // n)
+                small = lum[ys][:, xs]
+                coef = basis @ small @ basis.T
+                low = coef[:8, :8].ravel()
+                med = np.median(low)
+                bits = np.where(low > med, 1, 0).astype(np.uint64)
+                h = np.uint64(0)
+                for bit in bits:
+                    h = (h << np.uint64(1)) | bit
+                out["dct_phash"].append(np.int64(h))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, schema=_PHASH_SCHEMA)
+
+
+def hamming_pairs(df: DataFrame, col: str = "phash", key: str = "image_id",
+                  max_dist: int = 3, bands: int = 4,
+                  max_bucket: int | None = None) -> DataFrame:
+    """Near-duplicate pairs over a 64-bit fingerprint column: banded hamming
+    LSH + exact popcount verification.
+
+    Pigeonhole guarantee: with `bands` equal bit-slices, any pair within
+    hamming distance < bands shares at least one identical band, so the
+    banded equi-join finds EVERY pair with distance <= bands-1 (default
+    4 bands -> exhaustive for max_dist <= 3); the exact bit_count(xor)
+    filter then removes false candidates.  Same shape as the MinHash/LSH
+    text pipeline: shuffle keys are (band, band_bits), no all-pairs stage,
+    `max_bucket` caps degenerate fingerprint clusters (e.g. monochrome
+    thumbnails all hashing to one value).
+    """
+    from pyspark.sql import functions as F
+
+    if not 64 % bands == 0:
+        raise ValueError("bands must divide 64")
+    if max_dist >= bands:
+        raise ValueError("banded search is exhaustive only for max_dist < bands")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    b = df.select(F.col(key).alias("k"), F.col(col).alias("fp"))
+    slices = F.array(*[
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftrightunsigned(F.col("fp"), i * width).bitwiseAND(F.lit(mask)).alias("bh"),
+        )
+        for i in range(bands)
+    ])
+    e = b.select("k", "fp", F.explode(slices).alias("bb")) \
+         .select("k", "fp", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    if max_bucket is not None:
+        ok = (
+            e.groupBy("band", "bh").agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select("band", "bh")
+        )
+        e = e.join(ok, ["band", "bh"])
+    l, r = e.alias("l"), e.alias("r")
+    cand = (
+        l.join(r, (F.col("l.band") == F.col("r.band"))
+               & (F.col("l.bh") == F.col("r.bh"))
+               & (F.col("l.k") < F.col("r.k")))
+        .select(F.col("l.k").alias("key_a"), F.col("r.k").alias("key_b"),
+                F.col("l.fp").alias("fp_a"), F.col("r.fp").alias("fp_b"))
+        .distinct()
+    )
+    dist = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        cand.withColumn("hamming", dist)
+        .filter(F.col("hamming") <= max_dist)
+        .select("key_a", "key_b", "hamming")
+    )

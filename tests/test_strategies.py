@@ -190,3 +190,21 @@ def test_ivf_production_codebook_c256(spark):
     assert len(topk) == 10
     recall = len({r.vec_id for r in topk} & {r.vec_id for r in brute}) / 10
     assert recall >= 0.7, recall
+
+
+def test_ivf_partitioned_table_prunes(spark, tmp_path):
+    """write_ivf_table + ivf_topk_table: probes are parquet PARTITION
+    PRUNING (directory skip), results identical to the unindexed ivf_topk."""
+    from openpoiservice_spark.operators import ann as ANN
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    ANN.write_ivf_table(emb, path)
+    q = ANN.query_vector()
+    df = ANN.ivf_topk_table(spark, path, q, 10, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "ivf_cell" in scan_line.split("PartitionFilters")[1][:120]
+    got = [(r.vec_id, r.cosine) for r in df.collect()]
+    exp = [(r.vec_id, r.cosine) for r in ANN.ivf_topk(emb, q, 10, nprobe=2).collect()]
+    assert got == exp

@@ -214,3 +214,55 @@ def test_pcell_stats_sum_stream_deltas(spark, tmp_path):
     eng = object.__new__(PoiEngine)
     eng.spark, eng.prepared_dir = spark, d
     assert PoiEngine._load_pcell_stats(eng) == {5: 117, 6: 55, 7: 9, 8: 20}
+
+
+def test_dct_phash_and_hamming_pairs(spark, tmp_path):
+    """Perceptual-hash image dedup: identical pixels hash identically, a
+    lightly-perturbed copy lands within a small hamming distance, distinct
+    images land far; hamming_pairs finds exactly the brute-force pair set
+    for max_dist < bands (pigeonhole guarantee)."""
+    import numpy as np
+    import pandas as pd
+
+    from openpoiservice_spark import imaging
+    from openpoiservice_spark.operators import images as IM
+
+    rng = np.random.default_rng(13)
+    base = (rng.normal(128, 40, (32, 32, 3)).clip(0, 255)).astype(np.uint8)
+    near = base.copy()
+    near[0, 0] = np.clip(near[0, 0].astype(int) + 3, 0, 255).astype(np.uint8)
+    other = (rng.normal(128, 40, (32, 32, 3)).clip(0, 255)).astype(np.uint8)
+    rows = [("a", imaging.encode_png(base), "png"),
+            ("b", imaging.encode_png(near), "png"),
+            ("c", imaging.encode_png(other), "png")]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    h = {r.image_id: int(r.dct_phash) for r in IM.dct_phash(df).collect()}
+
+    def ham(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    assert ham(h["a"], h["b"]) <= 6          # near-dup: tiny perturbation
+    assert ham(h["a"], h["c"]) > 12          # unrelated content
+    # re-encoding the same pixels through lossy JPEG stays near
+    from openpoiservice_spark import jpeg
+    df2 = spark.createDataFrame(
+        [("a", imaging.encode_png(base), "png"),
+         ("aj", jpeg.encode_jpeg(base, quality=95), "jpeg")],
+        "image_id string, bytes binary, fmt string")
+    h2 = {r.image_id: int(r.dct_phash) for r in IM.dct_phash(df2).collect()}
+    assert ham(h2["a"], h2["aj"]) <= 10
+
+    # hamming_pairs == brute force on random fingerprints + planted dups
+    fps = rng.integers(-(2**63), 2**63, 60, dtype=np.int64).tolist()
+    fps += [fps[0] ^ 1, fps[1] ^ 3, fps[2]]  # planted distances 1, 2, 0
+    fdf = spark.createDataFrame(
+        [(i, int(v)) for i, v in enumerate(fps)], "image_id long, phash long")
+    got = {(r.key_a, r.key_b, r.hamming)
+           for r in IM.hamming_pairs(fdf, key="image_id", max_dist=3).collect()}
+    brute = set()
+    for i in range(len(fps)):
+        for j in range(i + 1, len(fps)):
+            d = ham(fps[i] & (2**64 - 1), fps[j] & (2**64 - 1))
+            if d <= 3:
+                brute.add((i, j, d))
+    assert got == brute and len(brute) >= 3
