@@ -63,6 +63,25 @@ def main(argv=None):
     sm.add_argument("--prepared", required=True)
     sm.add_argument("--checkpoint", required=True)
 
+    sk = sub.add_parser("knn", help="k nearest POIs (lineage-seeded single probe)")
+    sk.add_argument("--prepared", required=True)
+    sk.add_argument("--lon", type=float, required=True)
+    sk.add_argument("--lat", type=float, required=True)
+    sk.add_argument("-k", type=int, default=10)
+
+    si = sub.add_parser("ivf-build", help="materialize IVF-partitioned embeddings")
+    si.add_argument("--emb", required=True, help="embeddings parquet path")
+    si.add_argument("--out", required=True)
+    si.add_argument("--centroids", type=int, default=256)
+    si.add_argument("--sample", type=int, default=100_000,
+                    help="training sample size (driver-side k-means)")
+
+    sd = sub.add_parser("image-dedup", help="perceptual-hash image near-dup pairs")
+    sd.add_argument("--images", required=True, help="poi_images parquet path")
+    sd.add_argument("--out", default=None)
+    sd.add_argument("--max-dist", type=int, default=3)
+    sd.add_argument("--max-bucket", type=int, default=100_000)
+
     args = p.parse_args(argv)
 
     from openpoiservice_spark.session import get_spark
@@ -126,6 +145,44 @@ def main(argv=None):
 
         streaming.stream_prepare(spark, args.raw_dir, args.prepared, args.checkpoint)
         print(json.dumps({"status": "drained"}))
+    elif args.cmd == "knn":
+        from openpoiservice_spark.api import PoiEngine
+
+        eng = PoiEngine(spark, args.prepared)
+        ps: dict = {}
+        rows = eng.knn_df(args.lon, args.lat, args.k, probe_stats=ps).collect()
+        print(json.dumps({
+            "probes": ps.get("probes"),
+            "results": [{"image_id": r.image_id, "lon": r.lon, "lat": r.lat,
+                         "distance": r.distance} for r in rows],
+        }))
+    elif args.cmd == "ivf-build":
+        import numpy as np
+
+        from openpoiservice_spark.operators import ann as ANN
+
+        emb = spark.read.parquet(args.emb)
+        n = emb.count()
+        frac = min(1.0, args.sample / max(n, 1))
+        sample = np.array(
+            emb.sample(frac, seed=7).limit(args.sample)
+            .select("embedding").toPandas()["embedding"].tolist()
+        )
+        cb = ANN.ivf_train(sample, n_centroids=args.centroids)
+        ANN.write_ivf_table(emb, args.out, cb)
+        print(json.dumps({"rows": n, "centroids": args.centroids, "out": args.out}))
+    elif args.cmd == "image-dedup":
+        from pyspark.sql import functions as F
+
+        from openpoiservice_spark.operators import images as IM
+
+        imgs = spark.read.parquet(args.images)
+        hashed = IM.dct_phash(imgs)
+        pairs = IM.hamming_pairs(hashed, col="dct_phash", key="image_id",
+                                 max_dist=args.max_dist, max_bucket=args.max_bucket)
+        if args.out:
+            pairs.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"pairs": pairs.count()}))
     return 0
 
 

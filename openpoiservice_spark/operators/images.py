@@ -195,7 +195,7 @@ def dct_phash(df: DataFrame) -> DataFrame:
 
 
 def hamming_pairs(df: DataFrame, col: str = "phash", key: str = "image_id",
-                  max_dist: int = 3, bands: int = 4,
+                  max_dist: int = 3, bands: int | None = None,
                   max_bucket: int | None = None) -> DataFrame:
     """Near-duplicate pairs over a 64-bit fingerprint column: banded hamming
     LSH + exact popcount verification.
@@ -211,6 +211,10 @@ def hamming_pairs(df: DataFrame, col: str = "phash", key: str = "image_id",
     """
     from pyspark.sql import functions as F
 
+    if bands is None:
+        # smallest divisor of 64 exceeding max_dist keeps the pigeonhole
+        # guarantee with the widest (most selective) band slices
+        bands = next(b for b in (2, 4, 8, 16, 32, 64) if b > max_dist)
     if not 64 % bands == 0:
         raise ValueError("bands must divide 64")
     if max_dist >= bands:
