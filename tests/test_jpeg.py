@@ -279,3 +279,56 @@ def test_16bit_quant_tables():
     patched = (data[:i] + b"\xff\xdb" + struct.pack(">H", len(body16) + 2)
                + body16 + data[i + 2 + seglen:])
     np.testing.assert_array_equal(jpeg.decode_jpeg(patched), jpeg.decode_jpeg(data))
+
+
+def test_decode_hand_assembled_progressive_grayscale():
+    """Hand-assembled SOF2 stream (no encoder involved): three scans over a
+    single 8x8 grayscale block —
+      scan 1 (Ss=0 Se=0 Ah=0 Al=1): DC first pass codes diff of (DC >> 1);
+              DC=2 -> value 1 -> DC-luma cat 1 ('010') + bit '1' -> 0x5F
+      scan 2 (Ss=0 Se=0 Ah=1 Al=0): one raw refinement bit (DC & 1 = 0) -> 0x7F
+      scan 3 (Ss=1 Se=63 Ah=0 Al=0): AC-luma EOB ('1010') -> 0xAF
+    Coefficients converge to DC=2, AC=0 — exactly the baseline DC-step
+    vector, so every pixel is 128 + 2*16/8 = 132."""
+    out = b"\xff\xd8"
+    out += _seg(0xDB, bytes([0]) + bytes(jpeg._Q_LUMA[jpeg.ZIGZAG].tolist()))
+    out += _seg(0xC2, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+    out += _dht(0, 0, jpeg._DC_LUMA)
+    out += _dht(1, 0, jpeg._AC_LUMA)
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01])) + bytes([0b01011111])
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10])) + bytes([0b01111111])
+    out += _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00])) + bytes([0b10101111])
+    out += b"\xff\xd9"
+    img = jpeg.decode_jpeg(out)
+    assert img.shape == (8, 8, 3)
+    assert (img == 132).all()
+    # and it matches the sequential stream carrying the same coefficients
+    seq = jpeg.decode_jpeg(_gray_stream(bytes([0b01110101, 0b01111111])))
+    np.testing.assert_array_equal(img, seq)
+
+
+def test_decode_hand_assembled_progressive_ac_band():
+    """Progressive AC first pass with successive approximation: scan codes
+    AC(0,1) at Al=1 as magnitude 1 ('00' run0/size1 + bit '1'), then the
+    refinement scan (Ah=1 Al=0) supplies the low bit via a correction bit.
+    Correction bit 1 -> coefficient 2*1+1 = 3; the DC scans leave DC=0."""
+    out = b"\xff\xd8"
+    out += _seg(0xDB, bytes([0]) + bytes(jpeg._Q_LUMA[jpeg.ZIGZAG].tolist()))
+    out += _seg(0xC2, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+    out += _dht(0, 0, jpeg._DC_LUMA)
+    out += _dht(1, 0, jpeg._AC_LUMA)
+    # DC first (Al=1): diff 0 -> cat 0 ('00'); DC refine: bit 0
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01])) + bytes([0b00111111])
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10])) + bytes([0b01111111])
+    # AC first at Al=1: (run0,size1)='00' + sign/mag bit '1' (+1), EOB '1010'
+    out += _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x01])) + bytes([0b00110101, 0b11111111])
+    # AC refine to Al=0: EOB ('1010', run covers this block) followed by the
+    # correction bit '1' for the already-significant coeff in the band
+    out += _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x10])) + bytes([0b10101111])
+    out += b"\xff\xd9"
+    img = jpeg.decode_jpeg(out)
+    g = img[..., 0].astype(np.float64)
+    # AC(0,1) = 3 * q[0][1] = 33 -> horizontal half-cosine ramp
+    expect = 128.0 + 33.0 * jpeg._C[0, 0] * jpeg._C[1, np.arange(8)]
+    assert np.allclose(g[0], np.clip(np.round(expect), 0, 255))
+    assert np.all(g == g[0:1, :])
