@@ -158,8 +158,6 @@ def dct_phash(df: DataFrame) -> DataFrame:
     input of `phash_near_dup_pairs` (banded hamming join), which is where
     the 10^12-row dedup actually scales — this stage is embarrassingly
     parallel decode."""
-    from ..jpeg import _C as _DCT8  # orthonormal 8-point DCT basis
-
     # 32-point orthonormal DCT-II basis (same construction as jpeg._C)
     n = 32
     basis = np.zeros((n, n))
@@ -252,4 +250,34 @@ def hamming_pairs(df: DataFrame, col: str = "phash", key: str = "image_id",
         cand.withColumn("hamming", dist)
         .filter(F.col("hamming") <= max_dist)
         .select("key_a", "key_b", "hamming")
+    )
+
+
+def curate_images(df: DataFrame, min_std_lum: float = 4.0,
+                  max_dist: int = 3,
+                  max_bucket: int | None = None) -> DataFrame:
+    """Image-side curation pipeline — the multimodal twin of
+    operators/text.curate: keep images that are (a) not the dropped side of
+    a perceptual-hash near-dup pair (the larger image_id of each pair drops,
+    deterministic), and (b) not degenerate content (luminance std below
+    `min_std_lum` ~ blank/monochrome thumbnails).
+
+    One decode pass feeds BOTH gates: `dct_phash` and the feature extract
+    run over the same rows; the dedup stage is the banded hamming join —
+    every stage a column join/filter, no collect.  Returns
+    (image_id, dct_phash, std_lum) for survivors."""
+    from pyspark.sql import functions as F
+
+    hashed = dct_phash(df)
+    losers = (
+        hamming_pairs(hashed, col="dct_phash", key="image_id",
+                      max_dist=max_dist, max_bucket=max_bucket)
+        .select(F.col("key_b").alias("image_id")).distinct()
+    )
+    feats = image_features(df).select("image_id", "std_lum")
+    return (
+        hashed.join(losers, "image_id", "left_anti")
+        .join(feats, "image_id")
+        .filter(F.col("std_lum") >= min_std_lum)
+        .select("image_id", "dct_phash", "std_lum")
     )

@@ -266,3 +266,27 @@ def test_dct_phash_and_hamming_pairs(spark, tmp_path):
             if d <= 3:
                 brute.add((i, j, d))
     assert got == brute and len(brute) >= 3
+
+
+def test_curate_images_pipeline(spark):
+    """Multimodal curation: near-dup losers (perceptual hash) and blank
+    frames drop; distinct real content survives."""
+    import numpy as np
+
+    from openpoiservice_spark import imaging
+    from openpoiservice_spark.operators import images as IM
+
+    rng = np.random.default_rng(33)
+    a = (rng.normal(128, 40, (32, 32, 3)).clip(0, 255)).astype(np.uint8)
+    a_dup = a.copy()
+    a_dup[0, 0] = np.clip(a_dup[0, 0].astype(int) + 2, 0, 255).astype(np.uint8)
+    b = (rng.normal(128, 40, (32, 32, 3)).clip(0, 255)).astype(np.uint8)
+    blank = np.full((32, 32, 3), 200, dtype=np.uint8)
+    rows = [("a", imaging.encode_png(a), "png"),
+            ("a_dup", imaging.encode_png(a_dup), "png"),
+            ("b", imaging.encode_png(b), "png"),
+            ("blank", imaging.encode_png(blank), "png")]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    kept = {r.image_id for r in IM.curate_images(df, max_dist=8).collect()}
+    # 'a' survives its dup (smaller id keeps), 'a_dup' drops, 'blank' drops
+    assert kept == {"a", "b"}
