@@ -319,11 +319,23 @@ def _size_cat(v: int) -> int:
 # ----------------------------------------------------------------- encoder
 
 def _prepare_components(pixels: np.ndarray, quality: int, subsampling: str):
-    """RGB pixels -> (comp_blocks zig-zag int64 arrays, padded block widths,
-    h, w, sub, ql, qc) — the shared front half of both encoders."""
+    """RGB or grayscale pixels -> (comp_blocks zig-zag int64 arrays, padded
+    block widths, h, w, sub, ql, qc) — the shared front half of both
+    encoders.  Grayscale input ((h, w) or (h, w, 1)) yields ONE component
+    (comp_blocks length 1, sub forced to 1)."""
     pixels = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if pixels.ndim == 2:
+        pixels = pixels[..., None]
     h, w, c = pixels.shape
-    assert c == 3, "RGB only"
+    if c == 1:
+        ql, _qc = quality_tables(quality)
+        p = _pad_to(pixels[..., 0].astype(np.float64), 8, 8) - 128.0
+        blocks = _blockize(p)
+        coef = np.einsum("km,nml,lj->nkj", _C, blocks, _C.T)
+        quant = np.round(coef / ql.reshape(8, 8)).astype(np.int64)
+        czz = quant.reshape(-1, 64)[:, ZIGZAG]
+        return [czz], [p.shape[1] // 8], h, w, 1, ql, None
+    assert c == 3, "RGB or grayscale only"
     if subsampling not in ("444", "420"):
         raise NotImplementedError(f"subsampling {subsampling!r}")
     sub = 2 if subsampling == "420" else 1
@@ -363,9 +375,10 @@ def _prepare_components(pixels: np.ndarray, quality: int, subsampling: str):
 
 def encode_jpeg(pixels: np.ndarray, quality: int = 90,
                 subsampling: str = "444", restart_interval: int = 0) -> bytes:
-    """(h, w, 3) uint8 RGB -> baseline JFIF JPEG bytes.
+    """(h, w, 3) RGB or (h, w) grayscale uint8 -> baseline JFIF JPEG bytes.
 
-    subsampling: '444' (no chroma subsampling) or '420' (2x2).
+    subsampling: '444' (no chroma subsampling) or '420' (2x2); ignored for
+    grayscale (single component).
     """
     comp_blocks, comp_bw, h, w, sub, ql, qc = _prepare_components(
         pixels, quality, subsampling)
@@ -406,9 +419,11 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
             code, ln = ac_tab[0x00]  # EOB
             wbits.write(code, ln)
 
-    # MCU interleave
-    mcus_x = -(-w // (8 * sub))
-    mcus_y = -(-h // (8 * sub))
+    gray = len(comp_blocks) == 1
+
+    # MCU interleave (grayscale: one block per MCU over the padded grid)
+    mcus_x = -(-w // (8 * sub)) if not gray else comp_bw[0]
+    mcus_y = -(-h // (8 * sub)) if not gray else len(comp_blocks[0]) // comp_bw[0]
     mcu_count = 0
     rst = 0
     for my in range(mcus_y):
@@ -418,11 +433,14 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
                 wbits.buf += bytes([0xFF, 0xD0 + rst])
                 rst = (rst + 1) % 8
                 pred[:] = [0, 0, 0]
-            for v in range(sub):
-                for hh in range(sub):
-                    put_block(0, 0, comp_blocks[0][(my * sub + v) * comp_bw[0] + mx * sub + hh])
-            put_block(1, 1, comp_blocks[1][my * comp_bw[1] + mx])
-            put_block(2, 1, comp_blocks[2][my * comp_bw[2] + mx])
+            if gray:
+                put_block(0, 0, comp_blocks[0][my * comp_bw[0] + mx])
+            else:
+                for v in range(sub):
+                    for hh in range(sub):
+                        put_block(0, 0, comp_blocks[0][(my * sub + v) * comp_bw[0] + mx * sub + hh])
+                put_block(1, 1, comp_blocks[1][my * comp_bw[1] + mx])
+                put_block(2, 1, comp_blocks[2][my * comp_bw[2] + mx])
             mcu_count += 1
     wbits.flush()
 
@@ -433,18 +451,24 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
     out = bytearray(b"\xff\xd8")  # SOI
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
     out += seg(0xDB, bytes([0]) + bytes(ql[ZIGZAG].tolist()))
-    out += seg(0xDB, bytes([1]) + bytes(qc[ZIGZAG].tolist()))
-    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
-    sof += bytes([1, (sub << 4) | sub, 0])  # Y
-    sof += bytes([2, 0x11, 1])              # Cb
-    sof += bytes([3, 0x11, 1])              # Cr
+    if not gray:
+        out += seg(0xDB, bytes([1]) + bytes(qc[ZIGZAG].tolist()))
+    if gray:
+        sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0])
+    else:
+        sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+        sof += bytes([1, (sub << 4) | sub, 0])  # Y
+        sof += bytes([2, 0x11, 1])              # Cb
+        sof += bytes([3, 0x11, 1])              # Cr
     out += seg(0xC0, sof)
-    for cls, tid, (bits, vals) in ((0, 0, _DC_LUMA), (1, 0, _AC_LUMA),
-                                   (0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA)):
+    tables = ((0, 0, _DC_LUMA), (1, 0, _AC_LUMA)) if gray else (
+        (0, 0, _DC_LUMA), (1, 0, _AC_LUMA), (0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA))
+    for cls, tid, (bits, vals) in tables:
         out += seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
     if restart_interval:
         out += seg(0xDD, struct.pack(">H", restart_interval))
-    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    sos = (bytes([1, 1, 0x00, 0, 63, 0]) if gray
+           else bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     out += seg(0xDA, sos)
     out += wbits.buf
     out += b"\xff\xd9"  # EOI
@@ -606,9 +630,15 @@ def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 90,
     bit — that identity is the round-trip test."""
     comp_blocks, comp_bw, h, w, sub, ql, qc = _prepare_components(
         pixels, quality, subsampling)
-    mcus_x = -(-w // (8 * sub))
-    mcus_y = -(-h // (8 * sub))
-    samp = [(sub, sub), (1, 1), (1, 1)]
+    ncomp = len(comp_blocks)
+    if ncomp == 1:  # grayscale: padded grid IS the MCU grid
+        mcus_x = comp_bw[0]
+        mcus_y = len(comp_blocks[0]) // comp_bw[0]
+        samp = [(1, 1)]
+    else:
+        mcus_x = -(-w // (8 * sub))
+        mcus_y = -(-h // (8 * sub))
+        samp = [(sub, sub), (1, 1), (1, 1)]
 
     # MCU-interleaved (comp, block) order for the DC scans
     dc_order = []
@@ -645,11 +675,14 @@ def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 90,
     out = bytearray(b"\xff\xd8")
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += seg(0xDB, bytes([0]) + bytes(ql[ZIGZAG].tolist()))
-    out += seg(0xDB, bytes([1]) + bytes(qc[ZIGZAG].tolist()))
-    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
-    sof += bytes([1, (sub << 4) | sub, 0])
-    sof += bytes([2, 0x11, 1])
-    sof += bytes([3, 0x11, 1])
+    if ncomp == 3:
+        out += seg(0xDB, bytes([1]) + bytes(qc[ZIGZAG].tolist()))
+        sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+        sof += bytes([1, (sub << 4) | sub, 0])
+        sof += bytes([2, 0x11, 1])
+        sof += bytes([3, 0x11, 1])
+    else:
+        sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0])
     out += seg(0xC2, sof)
     out += seg(0xC4, bytes([0x00]) + bytes(_DC_FLAT[0]) + bytes(_DC_FLAT[1]))
     out += seg(0xC4, bytes([0x10]) + bytes(_AC_FLAT[0]) + bytes(_AC_FLAT[1]))
@@ -680,18 +713,18 @@ def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 90,
     per_mcu = len(dc_order) // (mcus_x * mcus_y)
     dc_mcus = [dc_order[i:i + per_mcu] for i in range(0, len(dc_order), per_mcu)]
 
-    all_dc = [(1, 0x00), (2, 0x00), (3, 0x00)]
+    all_dc = [(i + 1, 0x00) for i in range(ncomp)]
     scan(lambda wb, o: _emit_dc_first(wb, dctab, comp_blocks, o, 1),
          dc_mcus, all_dc, 0, 0, 0, 1)
     scan(lambda wb, o: _emit_dc_refine(wb, comp_blocks, o, 0),
          dc_mcus, all_dc, 0, 0, 1, 0)
-    for ci in range(3):
+    for ci in range(ncomp):
         blocks = comp_blocks[ci]
         for (s0, s1) in ((1, 5), (6, 63)):
             scan(lambda wb, o, b=blocks, a=s0, z=s1:
                  _emit_ac_first(wb, actab, b, o, a, z, 1),
                  ac_order(ci), [(ci + 1, 0x00)], s0, s1, 0, 1)
-    for ci in range(3):
+    for ci in range(ncomp):
         blocks = comp_blocks[ci]
         for (s0, s1) in ((1, 5), (6, 63)):
             scan(lambda wb, o, b=blocks, a=s0, z=s1:

@@ -332,3 +332,24 @@ def test_decode_hand_assembled_progressive_ac_band():
     expect = 128.0 + 33.0 * jpeg._C[0, 0] * jpeg._C[1, np.arange(8)]
     assert np.allclose(g[0], np.clip(np.round(expect), 0, 255))
     assert np.all(g == g[0:1, :])
+
+
+def test_grayscale_roundtrip_baseline_and_progressive():
+    """Single-component streams: the grayscale encoders exercise the
+    decoder's 1-component paths (including the progressive single-component
+    DC scan, which is NON-interleaved over the component grid)."""
+    rng = np.random.default_rng(8)
+    gray = (rng.normal(128, 40, (24, 36)).clip(0, 255)).astype(np.uint8)
+    base = jpeg.decode_jpeg(jpeg.encode_jpeg(gray, quality=90))
+    assert base.shape == (24, 36, 3)
+    np.testing.assert_array_equal(base[..., 0], base[..., 1])
+    prog = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(gray, quality=90))
+    np.testing.assert_array_equal(prog, base)
+    rst = jpeg.decode_jpeg(
+        jpeg.encode_jpeg_progressive(gray, quality=90, restart_interval=3))
+    np.testing.assert_array_equal(rst, base)
+    # smooth grayscale content meets the PSNR invariant
+    xx, yy = np.meshgrid(np.arange(36) * 3.0 + 30, np.arange(24) * 3.0 + 30)
+    smooth = (xx + yy).clip(0, 255).astype(np.uint8)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(smooth, quality=95))
+    assert imaging.psnr(np.stack([smooth] * 3, axis=-1), out) >= 40.0
