@@ -100,23 +100,23 @@ def cover_bbox(min_lon, min_lat, max_lon, max_lat, res: int) -> np.ndarray:
     geo.bbox_spec / buffered_bounds of a dateline geometry) and wrapped
     specifications (min_lon > max_lon) split into two in-range covers whose
     union is returned."""
+    if min_lon > max_lon:  # wrapped specification -> continuous frame
+        max_lon += 360.0
     if max_lon - min_lon >= 360.0:
         min_lon, max_lon = -180.0, 180.0
-    elif max_lon > 180.0:
-        return np.unique(np.concatenate([
-            cover_bbox(max(min_lon, -180.0), min_lat, 180.0, max_lat, res),
-            cover_bbox(-180.0, min_lat, max_lon - 360.0, max_lat, res),
-        ]))
-    elif min_lon < -180.0:
-        return np.unique(np.concatenate([
-            cover_bbox(min_lon + 360.0, min_lat, 180.0, max_lat, res),
-            cover_bbox(-180.0, min_lat, min(max_lon, 180.0), max_lat, res),
-        ]))
-    elif min_lon > max_lon:  # wrapped specification
-        return np.unique(np.concatenate([
-            cover_bbox(min_lon, min_lat, 180.0, max_lat, res),
-            cover_bbox(-180.0, min_lat, max_lon, max_lat, res),
-        ]))
+    else:
+        # shift the whole window by multiples of 360 so min_lon lands in
+        # [-180, 180) — makes any continuous-frame input terminate in at
+        # most ONE split (hypothesis found unbounded recursion for inputs
+        # more than a full turn out of range)
+        shift = np.floor((min_lon + 180.0) / 360.0) * 360.0
+        min_lon -= shift
+        max_lon -= shift
+        if max_lon > 180.0:
+            return np.unique(np.concatenate([
+                cover_bbox(min_lon, min_lat, 180.0, max_lat, res),
+                cover_bbox(-180.0, min_lat, max_lon - 360.0, max_lat, res),
+            ]))
     n = np.int64(1) << res
     x0 = int(np.clip(np.floor((min_lon + 180.0) / 360.0 * n), 0, n - 1))
     x1 = int(np.clip(np.floor((max_lon + 180.0) / 360.0 * n), 0, n - 1))

@@ -209,7 +209,7 @@ def raster_tile_spans(lon, lat, w, h, z: int):
         # low side (callers offset image-space slices by it).
         g0c = np.clip(g0, 0, scale)
         g1c = np.clip(g0 + extent, 0, scale)
-        off = g0c - g0
+        off = np.maximum(g0c - g0, 0)  # 0 for fully-right-of-grid rasters
         ext = g1c - g0c
         tA = g0c // 256  # floor div: first tile touched
         first_count = np.minimum((tA + 1) * 256 - g0c, ext)

@@ -93,3 +93,77 @@ def test_donut_membership_consistency(px, py):
     member = bool(in_outer and not in_hole)
     assert bool(g.within_m([px], [py], 0.0)[0]) == member
     assert (g.distance_m([px], [py])[0] == 0.0) == member
+
+
+@given(lon1=_lon, lat1=_lat, lon2=_lon, lat2=_lat)
+@settings(max_examples=200, deadline=None)
+def test_vincenty_properties_random_pairs(lon1, lat1, lon2, lat2):
+    """Spheroidal inverse invariants over arbitrary pairs: symmetric,
+    non-negative, zero iff coincident, within [haversine*(1-1%), *(1+1%)]
+    of the spherical distance (flattening bound with slack for the
+    near-antipodal fallback region)."""
+    d = float(geo.vincenty_m(lon1, lat1, lon2, lat2)[0])
+    drev = float(geo.vincenty_m(lon2, lat2, lon1, lat1)[0])
+    assert abs(d - drev) <= 1e-6  # reversed iteration rounds ~1 ulp apart
+    assert d >= 0.0
+    hav = float(geo.haversine_m(lon1, lat1, lon2, lat2))
+    if hav > 1.0:
+        assert abs(d - hav) / hav < 0.01
+    if (lon1, lat1) == (lon2, lat2):
+        assert d == 0.0
+
+
+@given(lon=st.floats(min_value=-360.0, max_value=360.0,
+                     allow_nan=False, allow_infinity=False),
+       width=st.floats(min_value=0.01, max_value=350.0,
+                       allow_nan=False, allow_infinity=False),
+       lat=st.floats(min_value=-80.0, max_value=80.0,
+                     allow_nan=False, allow_infinity=False),
+       res=st.integers(2, 8))
+@settings(max_examples=150, deadline=None)
+def test_cover_bbox_wrap_superset(lon, width, lat, res):
+    """Antimeridian cover invariant: for ANY continuous-frame lon range
+    (possibly extending past ±180 in either direction), every in-range
+    point's cell is covered after wrapping the point into [-180, 180)."""
+    lo, hi = lon, lon + width
+    cover = set(cells.cover_bbox(lo, lat - 0.5, hi, lat + 0.5, res).tolist())
+    assert cover
+    rng = np.random.default_rng(1)
+    pts = rng.uniform(lo, hi, 40)
+    wrapped = np.mod(pts + 180.0, 360.0) - 180.0
+    cs = cells.cell_of(wrapped, np.full(40, lat), res)
+    assert set(cs.tolist()) <= cover
+
+
+@given(g0=st.integers(-600, 2**21 * 256 + 600),
+       extent=st.integers(1, 96),
+       z=st.integers(0, 21))
+@settings(max_examples=200, deadline=None)
+def test_tile_axis_clamp_invariants(g0, extent, z):
+    """Per-axis tile-span invariants at any grid edge: counts are
+    non-negative and sum to the CLIPPED extent; every emitted tile id with
+    a positive count lies in [0, 2^z)."""
+    from openpoiservice_spark import imaging
+
+    scale = (1 << z) * 256
+    lo = max(min(g0, scale), 0)
+    hi = max(min(g0 + extent, scale), 0)
+    # reuse the module's axis math through raster_tile_spans' shape by
+    # computing directly what it computes per axis
+    g0a = np.array([g0], dtype=np.int64)
+    exta = np.array([extent], dtype=np.int64)
+    g0c = np.clip(g0a, 0, scale)
+    g1c = np.clip(g0a + exta, 0, scale)
+    off = np.maximum(g0c - g0a, 0)
+    ext = g1c - g0c
+    tA = g0c // 256
+    nA = np.minimum((tA + 1) * 256 - g0c, ext)
+    nB = ext - nA
+    assert nA[0] >= 0 and nB[0] >= 0
+    assert nA[0] + nB[0] == hi - lo
+    n = 1 << z
+    if nA[0] > 0:
+        assert 0 <= tA[0] < n
+    if nB[0] > 0:
+        assert 0 <= tA[0] + 1 < n
+    assert off[0] >= 0
