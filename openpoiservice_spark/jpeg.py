@@ -616,15 +616,16 @@ def _emit_ac_refine(wbits, actab, blocks, order, ss: int, se: int, al: int) -> N
 
 def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 90,
                             subsampling: str = "444",
-                            restart_interval: int = 0) -> bytes:
+                            restart_interval: int = 0,
+                            al_first: int = 1) -> bytes:
     """(h, w, 3) uint8 RGB -> progressive JFIF JPEG (SOF2) bytes.
 
     Scan script (the common spectral-selection + 1-bit successive-
     approximation shape real encoders emit):
-      1. DC, all components interleaved, Al=1
-      2. DC refinement, Al=0 (raw bits)
-      3. per component: AC 1..5 at Al=1, then AC 6..63 at Al=1
-      4. per component: AC 1..5 refine to Al=0, then AC 6..63 refine
+      1. DC, all components interleaved, Al=al_first
+      2. DC refinement scans al_first-1 .. 0 (raw bits)
+      3. per component: AC 1..5 then AC 6..63, first pass at Al=al_first
+      4. per component: the same bands refined one bit at a time down to 0
     Coefficients converge to EXACTLY the baseline encoder's quantized
     values, so decode(progressive(img)) == decode(baseline(img)) bit-for-
     bit — that identity is the round-trip test."""
@@ -714,22 +715,24 @@ def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 90,
     dc_mcus = [dc_order[i:i + per_mcu] for i in range(0, len(dc_order), per_mcu)]
 
     all_dc = [(i + 1, 0x00) for i in range(ncomp)]
-    scan(lambda wb, o: _emit_dc_first(wb, dctab, comp_blocks, o, 1),
-         dc_mcus, all_dc, 0, 0, 0, 1)
-    scan(lambda wb, o: _emit_dc_refine(wb, comp_blocks, o, 0),
-         dc_mcus, all_dc, 0, 0, 1, 0)
+    scan(lambda wb, o: _emit_dc_first(wb, dctab, comp_blocks, o, al_first),
+         dc_mcus, all_dc, 0, 0, 0, al_first)
+    for al in range(al_first - 1, -1, -1):
+        scan(lambda wb, o, a=al: _emit_dc_refine(wb, comp_blocks, o, a),
+             dc_mcus, all_dc, 0, 0, al + 1, al)
     for ci in range(ncomp):
         blocks = comp_blocks[ci]
         for (s0, s1) in ((1, 5), (6, 63)):
             scan(lambda wb, o, b=blocks, a=s0, z=s1:
-                 _emit_ac_first(wb, actab, b, o, a, z, 1),
-                 ac_order(ci), [(ci + 1, 0x00)], s0, s1, 0, 1)
-    for ci in range(ncomp):
-        blocks = comp_blocks[ci]
-        for (s0, s1) in ((1, 5), (6, 63)):
-            scan(lambda wb, o, b=blocks, a=s0, z=s1:
-                 _emit_ac_refine(wb, actab, b, o, a, z, 0),
-                 ac_order(ci), [(ci + 1, 0x00)], s0, s1, 1, 0)
+                 _emit_ac_first(wb, actab, b, o, a, z, al_first),
+                 ac_order(ci), [(ci + 1, 0x00)], s0, s1, 0, al_first)
+    for al in range(al_first - 1, -1, -1):
+        for ci in range(ncomp):
+            blocks = comp_blocks[ci]
+            for (s0, s1) in ((1, 5), (6, 63)):
+                scan(lambda wb, o, b=blocks, a=s0, z=s1, l=al:
+                     _emit_ac_refine(wb, actab, b, o, a, z, l),
+                     ac_order(ci), [(ci + 1, 0x00)], s0, s1, al + 1, al)
     out += b"\xff\xd9"
     return bytes(out)
 

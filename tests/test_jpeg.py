@@ -353,3 +353,21 @@ def test_grayscale_roundtrip_baseline_and_progressive():
     smooth = (xx + yy).clip(0, 255).astype(np.uint8)
     out = jpeg.decode_jpeg(jpeg.encode_jpeg(smooth, quality=95))
     assert imaging.psnr(np.stack([smooth] * 3, axis=-1), out) >= 40.0
+
+
+def test_progressive_multilevel_successive_approximation():
+    """Three-level successive approximation (Al=3 first pass, refinement
+    scans at 2, 1, 0): every refinement level of both DC and AC paths runs,
+    coefficients still converge to the baseline's exactly."""
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (33, 41, 3), dtype=np.uint8)
+    base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=82))
+    for al in (2, 3):
+        prog = jpeg.decode_jpeg(
+            jpeg.encode_jpeg_progressive(img, quality=82, al_first=al))
+        np.testing.assert_array_equal(prog, base, err_msg=f"al_first={al}")
+    gray = rng.integers(0, 256, (19, 27), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(gray, al_first=3,
+                                                      restart_interval=2)),
+        jpeg.decode_jpeg(jpeg.encode_jpeg(gray)))
