@@ -414,3 +414,29 @@ def test_invalid_request_log(spark, fixture_paths, tmp_path):
     eng.request({"request": "list"})
     with open(log) as f:
         assert len(f.read().strip().splitlines()) == 2
+
+
+def test_spheroid_distance_engine_option(spark, fixture_paths):
+    """PoiEngine(spheroid_distance=True): output distances are WGS84
+    Vincenty (PostGIS-geography-exact), same row membership; default
+    haversine stays within the documented 0.6% bound."""
+    from openpoiservice_spark import geo
+    from openpoiservice_spark.api import PoiEngine
+
+    payload = {"request": "pois",
+               "geometry": {"geojson": {"type": "Point", "coordinates": P},
+                            "buffer": 50}}
+    base = PoiEngine(spark, fixture_paths["prepared"]).request(payload)
+    sph = PoiEngine(spark, fixture_paths["prepared"],
+                    spheroid_distance=True).request(payload)
+    ids_base = {f["properties"]["osm_id"] for f in base["features"]}
+    ids_sph = {f["properties"]["osm_id"] for f in sph["features"]}
+    assert ids_base == ids_sph and ids_base
+    by_id = {f["properties"]["osm_id"]: f["properties"] for f in sph["features"]}
+    diffs = 0
+    for f in base["features"]:
+        d_h = f["properties"]["distance"]
+        d_v = by_id[f["properties"]["osm_id"]]["distance"]
+        assert abs(d_h - d_v) <= max(0.006 * d_h, 1e-9)  # flattening bound
+        diffs += d_h != d_v
+    assert diffs > 0  # spheroid math actually engaged
