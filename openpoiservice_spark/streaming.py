@@ -83,6 +83,7 @@ def _write_batch(batch_df: DataFrame, prepared_dir: str, fp: str) -> None:
             batch_df.sortWithinPartitions("pcell", "cell")
             .write.mode("append")
             .option("compression", "uncompressed")
+            .option("parquet.block.size", 8 * 1024 * 1024)
             .partitionBy("pcell")
             .parquet(prepare.data_path(prepared_dir))
         )
