@@ -243,6 +243,19 @@ def run_queries(spark, prepared: str, sf_dir: str) -> tuple[dict, dict]:
 
     info["pixel_tiles"], timings["corridor_pixels"] = _timed(corridor_pixels)
 
+    # multimodal dedup: perceptual hash + banded hamming pairs over a 2%
+    # sample (decode-bound, embarrassingly parallel — the 10^12-row image
+    # dedup stage in miniature)
+    from openpoiservice_spark.operators import images as IM
+
+    def image_phash_dedup():
+        sample = pois.sample(0.02, seed=3).select("image_id", "bytes", "fmt")
+        hashed = IM.dct_phash(sample)
+        return IM.hamming_pairs(hashed, col="dct_phash", key="image_id",
+                                max_dist=3, max_bucket=10_000).count()
+
+    info["phash_pairs"], timings["image_phash_dedup"] = _timed(image_phash_dedup)
+
     # training-data ops on documents/embeddings at the same sf
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
