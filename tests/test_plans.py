@@ -171,3 +171,35 @@ def test_lonlat_range_reaches_parquet_scan(spark, fixture_paths):
     plan = _plan(eng.pois_df(payload))
     pushed = plan.split("PushedFilters")[1][:400]
     assert "lon" in pushed and "lat" in pushed
+
+
+def test_hamming_pairs_plan_shape(spark):
+    """The banded hamming join must be an equi-join on (band, bh) — no
+    cartesian product, no row-at-a-time Python; the popcount verification
+    is a JVM expression."""
+    from openpoiservice_spark.operators import images as IM
+
+    df = spark.createDataFrame(
+        [(i, (i * 2654435761) % (1 << 62)) for i in range(200)],
+        "image_id long, phash long")
+    pairs = IM.hamming_pairs(df, key="image_id", max_dist=3)
+    plan = _plan(pairs)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    pairs.count()  # executes
+
+
+def test_dateline_prefilter_lon_disjunction_pushes(spark, fixture_paths):
+    """A dateline-crossing geometry's wrapped lon range reaches the parquet
+    scan as an Or() filter (row-group pruning accepts disjunctions)."""
+    from openpoiservice_spark import geo
+    from openpoiservice_spark.api import CompiledQuery, PoiEngine
+
+    eng = PoiEngine(spark, fixture_paths["prepared"])
+    spec = geo.bbox_spec(179.9, 52.0, -179.9, 53.0)
+    cq = CompiledQuery(refine_spec=spec, refine_buffer=0.0,
+                       refine_bbox=None, distance_spec=spec)
+    out = eng._prefilter(eng._df.select("image_id", "lon", "lat", "cell", "pcell"), cq)
+    plan = _plan(out)
+    pushed = plan.split("PushedFilters")[1][:400]
+    assert "Or(GreaterThanOrEqual(lon,179.9)" in pushed.replace(" ", "")
