@@ -782,6 +782,8 @@ def _decode_scan_baseline(reader, scan, huff, qt, restart_interval, mcus_x, mcus
                     for hh in range(c["h"]):
                         zz = np.zeros(64, dtype=np.int32)
                         s = _huff_decode(reader, dc_tab)
+                        if s > 16:
+                            raise ValueError("invalid DC magnitude category")
                         diff = _extend(reader.receive(s), s)
                         pred[c["id"]] += diff
                         zz[0] = pred[c["id"]]
@@ -926,6 +928,8 @@ def _decode_dc_unit(reader, c, huff, pred, bi: int, ah: int, al: int) -> None:
     czz = c["czz"][bi]
     if ah == 0:  # first DC pass: Huffman diff, scaled by 2^al
         s = _huff_decode(reader, huff[(0, c["td"])])
+        if s > 16:
+            raise ValueError("invalid DC magnitude category")
         pred[c["id"]] += _extend(reader.receive(s), s)
         czz[0] = pred[c["id"]] << al
     else:  # refinement: one bit per block
@@ -991,6 +995,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             while i < len(body):
                 cls, tid = body[i] >> 4, body[i] & 0xF
                 bits = list(body[i + 1:i + 17])
+                if len(bits) != 16:
+                    raise ValueError("truncated Huffman table")
                 n = sum(bits)
                 vals = list(body[i + 17:i + 17 + n])
                 huff[(cls, tid)] = _decode_table(bits, vals)
@@ -1023,13 +1029,28 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if comps is None:
                 raise ValueError("SOS before SOF")
             ns = body[0]
+            if len(body) < 4 + 2 * ns:
+                raise ValueError("truncated scan header")
             scan = []
             for si in range(ns):
                 cs, tt = body[1 + 2 * si], body[2 + 2 * si]
-                comp = next(c for c in comps if c["id"] == cs)
+                comp = next((c for c in comps if c["id"] == cs), None)
+                if comp is None:
+                    raise ValueError(f"scan references unknown component {cs}")
                 scan.append({**comp, "td": tt >> 4, "ta": tt & 0xF})
             ss, se, ahal = body[1 + 2 * ns:4 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0xF
+            if not (0 <= ss <= se <= 63):
+                raise ValueError("invalid spectral band in scan header")
+            # every referenced entropy table must exist (corrupt streams
+            # reference tables never defined -> clean error, not KeyError)
+            for c in scan:
+                if ss == 0 and ah == 0 and (0, c["td"]) not in huff:
+                    raise ValueError("undefined DC Huffman table")
+                if se > 0 and (1, c["ta"]) not in huff:
+                    raise ValueError("undefined AC Huffman table")
+                if c["tq"] not in qt:
+                    raise ValueError("undefined quantization table")
             reader = _BitReader(data, pos + seglen)
             if progressive:
                 _decode_scan_progressive(

@@ -371,3 +371,31 @@ def test_progressive_multilevel_successive_approximation():
         jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(gray, al_first=3,
                                                       restart_interval=2)),
         jpeg.decode_jpeg(jpeg.encode_jpeg(gray)))
+
+
+def test_fuzz_corrupted_streams_raise_cleanly():
+    """Random truncations and byte flips over baseline AND progressive
+    streams: the decoder must either succeed or raise
+    ValueError/NotImplementedError — never crash with IndexError/KeyError/
+    OverflowError/StopIteration (a 100 TB ingest will see corrupt files)."""
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    streams = [jpeg.encode_jpeg(img, quality=85),
+               jpeg.encode_jpeg_progressive(img, quality=85),
+               jpeg.encode_jpeg_progressive(img, quality=85, restart_interval=2)]
+    for data in streams:
+        data = bytearray(data)
+        for trial in range(600):
+            mutated = bytearray(data)
+            op = trial % 3
+            if op == 0:
+                mutated = mutated[:rng.integers(2, len(data))]
+            elif op == 1:
+                mutated[rng.integers(2, len(data))] = rng.integers(0, 256)
+            else:
+                for _ in range(5):
+                    mutated[rng.integers(2, len(data))] = rng.integers(0, 256)
+            try:
+                jpeg.decode_jpeg(bytes(mutated))
+            except (ValueError, NotImplementedError):
+                pass
