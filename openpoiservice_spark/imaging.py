@@ -66,18 +66,25 @@ def encode_png(pixels: np.ndarray) -> bytes:
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes -> (h, w, 3) uint8.  Supports the subset encode_png emits."""
+    """PNG bytes -> (h, w, 3) uint8.  Supports the subset encode_png emits.
+    Corrupt/truncated streams raise ValueError (fuzz-asserted)."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos = 8
     w = h = None
     idat = b""
     while pos < len(data):
+        if pos + 8 > len(data):
+            raise ValueError("truncated PNG stream")
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated PNG stream")
         pos += 12 + length
         if tag == b"IHDR":
+            if len(body) != 13:
+                raise ValueError("corrupt PNG IHDR")
             w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
             if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
                 raise NotImplementedError(
@@ -88,7 +95,13 @@ def decode_png(data: bytes) -> np.ndarray:
             idat += body
         elif tag == b"IEND":
             break
-    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(h, 1 + w * 3)
+    if w is None:
+        raise ValueError("PNG has no IHDR")
+    try:
+        flat = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+        raw = flat.reshape(h, 1 + w * 3)
+    except (zlib.error, ValueError) as e:
+        raise ValueError(f"corrupt PNG stream: {e}") from None
     if (raw[:, 0] != 0).any():
         raise NotImplementedError("decode_png stub: only filter type 0")
     return raw[:, 1:].reshape(h, w, 3).copy()
@@ -105,8 +118,14 @@ def encode_qjpg(pixels: np.ndarray, step: int = QJPG_STEP) -> bytes:
 def decode_qjpg(data: bytes) -> np.ndarray:
     if data[:4] != QJPG_MAGIC:
         raise ValueError("not a QJPG payload")
+    if len(data) < 9:
+        raise ValueError("truncated QJPG payload")
     w, h, _step = struct.unpack(">HHB", data[4:9])
-    return np.frombuffer(zlib.decompress(data[9:]), dtype=np.uint8).reshape(h, w, 3).copy()
+    try:
+        flat = np.frombuffer(zlib.decompress(data[9:]), dtype=np.uint8)
+        return flat.reshape(h, w, 3).copy()
+    except (zlib.error, ValueError) as e:
+        raise ValueError(f"corrupt QJPG stream: {e}") from None
 
 
 def decode_image(data: bytes, fmt: str) -> np.ndarray:

@@ -343,3 +343,28 @@ def test_haversine_vs_spheroid_bound():
     vin = geo.vincenty_m(lon1, lat1, lon2, lat2)
     rel = np.abs(hav - vin) / np.maximum(vin, 1.0)
     assert float(rel.max()) < 0.006, float(rel.max())
+
+
+def test_fuzz_png_qjpg_decode_raise_cleanly():
+    """Corrupt/truncated PNG and QJPG payloads raise ValueError or
+    NotImplementedError — never zlib.error/struct.error/TypeError (the
+    ingest's decode operators must error-path corrupt files cleanly)."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    for fmt, data in (("png", imaging.encode_png(img)),
+                      ("jpeg", imaging.encode_qjpg(img))):
+        data = bytearray(data)
+        for trial in range(800):
+            mutated = bytearray(data)
+            op = trial % 3
+            if op == 0:
+                mutated = mutated[:rng.integers(1, len(data))]
+            elif op == 1:
+                mutated[rng.integers(0, len(data))] = rng.integers(0, 256)
+            else:
+                for _ in range(5):
+                    mutated[rng.integers(0, len(data))] = rng.integers(0, 256)
+            try:
+                imaging.decode_image(bytes(mutated), fmt)
+            except (ValueError, NotImplementedError):
+                pass
