@@ -35,8 +35,22 @@ _FEAT_SCHEMA = T.StructType(
 )
 
 
-def image_features(df: DataFrame) -> DataFrame:
-    """df needs (image_id, bytes, fmt); returns one feature row per image."""
+def _decode_or_none(raw, fmt, on_error: str):
+    """Decode one payload; on_error='skip' turns decode errors into None
+    (row dropped by the caller), 'fail' re-raises — a 100 TB ingest cannot
+    afford one corrupt file killing the stage, but silent skipping must be
+    an explicit choice (pair with scan_bad_payloads for the quarantine)."""
+    try:
+        return imaging.decode_image(raw, fmt)
+    except (ValueError, NotImplementedError):
+        if on_error == "skip":
+            return None
+        raise
+
+
+def image_features(df: DataFrame, on_error: str = "fail") -> DataFrame:
+    """df needs (image_id, bytes, fmt); returns one feature row per image.
+    on_error='skip' drops undecodable rows instead of failing the stage."""
     src = df.select("image_id", "bytes", "fmt")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -44,19 +58,24 @@ def image_features(df: DataFrame) -> DataFrame:
             ids = b["image_id"].to_numpy()
             raws = b["bytes"].to_numpy()
             fmts = b["fmt"].to_numpy()
-            out = {"image_id": ids, "mean_r": [], "mean_g": [], "mean_b": [],
+            out = {"image_id": [], "mean_r": [], "mean_g": [], "mean_b": [],
                    "std_lum": [], "hist": []}
             for i in range(len(b)):
-                px = imaging.decode_image(raws[i], fmts[i]).astype(np.float64)
+                px = _decode_or_none(raws[i], fmts[i], on_error)
+                if px is None:
+                    continue
+                px = px.astype(np.float64)
                 ch = px.mean(axis=(0, 1))
                 lum = px.mean(axis=2)
+                out["image_id"].append(ids[i])
                 out["mean_r"].append(float(ch[0]))
                 out["mean_g"].append(float(ch[1]))
                 out["mean_b"].append(float(ch[2]))
                 out["std_lum"].append(float(lum.std()))
                 hist, _ = np.histogram(lum, bins=8, range=(0.0, 256.0))
                 out["hist"].append(hist.astype(np.int64))
-            yield pd.DataFrame(out)
+            if out["image_id"]:  # empty frames break Arrow's list<long> cast
+                yield pd.DataFrame(out)
 
     return src.mapInPandas(run, schema=_FEAT_SCHEMA)
 
@@ -149,7 +168,7 @@ _PHASH_SCHEMA = T.StructType(
 )
 
 
-def dct_phash(df: DataFrame) -> DataFrame:
+def dct_phash(df: DataFrame, on_error: str = "fail") -> DataFrame:
     """64-bit DCT perceptual hash per image (classic pHash shape): decode ->
     grayscale -> resize to 32x32 -> 2D DCT -> keep the 8x8 low-frequency
     corner -> bit b set iff coefficient > the median of the 64.
@@ -172,10 +191,13 @@ def dct_phash(df: DataFrame) -> DataFrame:
             ids = b["image_id"].to_numpy()
             raws = b["bytes"].to_numpy()
             fmts = b["fmt"].to_numpy()
-            out = {"image_id": ids, "dct_phash": []}
+            out = {"image_id": [], "dct_phash": []}
             for i in range(len(b)):
-                px = imaging.decode_image(raws[i], fmts[i]).astype(np.float64)
-                lum = px.mean(axis=2)
+                px = _decode_or_none(raws[i], fmts[i], on_error)
+                if px is None:
+                    continue
+                out["image_id"].append(ids[i])
+                lum = px.astype(np.float64).mean(axis=2)
                 ys = (np.arange(n) * lum.shape[0] // n)
                 xs = (np.arange(n) * lum.shape[1] // n)
                 small = lum[ys][:, xs]
@@ -187,7 +209,8 @@ def dct_phash(df: DataFrame) -> DataFrame:
                 for bit in bits:
                     h = (h << np.uint64(1)) | bit
                 out["dct_phash"].append(np.int64(h))
-            yield pd.DataFrame(out)
+            if out["image_id"]:
+                yield pd.DataFrame(out)
 
     return src.mapInPandas(run, schema=_PHASH_SCHEMA)
 
@@ -281,3 +304,37 @@ def curate_images(df: DataFrame, min_std_lum: float = 4.0,
         .filter(F.col("std_lum") >= min_std_lum)
         .select("image_id", "dct_phash", "std_lum")
     )
+
+
+_BAD_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def scan_bad_payloads(df: DataFrame) -> DataFrame:
+    """Quarantine scan: one row per UNDECODABLE payload with the error
+    message — the observability companion of on_error='skip' (route these
+    to a quarantine table; the skip path stays silent by design).  Healthy
+    rows emit nothing, so the output is tiny at any scale."""
+    src = df.select("image_id", "bytes", "fmt")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids = b["image_id"].to_numpy()
+            raws = b["bytes"].to_numpy()
+            fmts = b["fmt"].to_numpy()
+            out = {"image_id": [], "fmt": [], "error": []}
+            for i in range(len(b)):
+                try:
+                    imaging.decode_image(raws[i], fmts[i])
+                except (ValueError, NotImplementedError) as e:
+                    out["image_id"].append(ids[i])
+                    out["fmt"].append(fmts[i])
+                    out["error"].append(f"{type(e).__name__}: {e}"[:200])
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, schema=_BAD_SCHEMA)

@@ -290,3 +290,34 @@ def test_curate_images_pipeline(spark):
     kept = {r.image_id for r in IM.curate_images(df, max_dist=8).collect()}
     # 'a' survives its dup (smaller id keeps), 'a_dup' drops, 'blank' drops
     assert kept == {"a", "b"}
+
+
+def test_error_tolerant_decode_and_quarantine(spark):
+    """on_error='skip' drops corrupt payloads instead of failing the stage;
+    scan_bad_payloads reports exactly the corrupt rows with their errors."""
+    import numpy as np
+    import pytest
+
+    from openpoiservice_spark import imaging
+    from openpoiservice_spark.operators import images as IM
+
+    rng = np.random.default_rng(44)
+    good = (rng.normal(128, 40, (16, 16, 3)).clip(0, 255)).astype(np.uint8)
+    rows = [("ok1", imaging.encode_png(good), "png"),
+            ("bad1", b"\x89PNG\r\n\x1a\n garbage", "png"),
+            ("ok2", imaging.encode_qjpg(good), "jpeg"),
+            ("bad2", b"\xff\xd8\xff\xee junk", "jpeg")]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+
+    # default: corrupt rows fail the stage
+    with pytest.raises(Exception):
+        IM.image_features(df).collect()
+    # skip mode: healthy rows survive
+    feats = IM.image_features(df, on_error="skip").collect()
+    assert {r.image_id for r in feats} == {"ok1", "ok2"}
+    hashes = IM.dct_phash(df, on_error="skip").collect()
+    assert {r.image_id for r in hashes} == {"ok1", "ok2"}
+    # quarantine scan names exactly the corrupt rows
+    bad = {r.image_id: r.error for r in IM.scan_bad_payloads(df).collect()}
+    assert set(bad) == {"bad1", "bad2"}
+    assert all(e for e in bad.values())
