@@ -137,7 +137,7 @@ def filter_payload(pois: DataFrame, meta_filter,
     return payload.select(*payload_cols).join(F.broadcast(keys), key)
 
 
-def tile_pixel_stats(df: DataFrame, z: int) -> DataFrame:
+def tile_pixel_stats(df: DataFrame, z: int, on_error: str = "fail") -> DataFrame:
     """Decode each image once and aggregate pixel intensities per overlapped
     tile sub-rectangle.
 
@@ -162,8 +162,13 @@ def tile_pixel_stats(df: DataFrame, z: int) -> DataFrame:
             fmts = b["fmt"].to_numpy()
             out = {k: [] for k in
                    ("image_id", "z", "tx", "ty", "px_count", "sum_intensity", "mean_intensity")}
+            from .operators.images import _decode_or_none
+
             for i in range(len(b)):
-                inten = imaging.decode_image(raws[i], fmts[i]).mean(axis=2, dtype=np.float64)
+                px = _decode_or_none(raws[i], fmts[i], on_error)
+                if px is None:
+                    continue
+                inten = px.mean(axis=2, dtype=np.float64)
                 # image-space split indices: grid-clipped pixels (offx/offy
                 # below the grid edge, anything past the clamped interval
                 # above it) fall outside every slice and emit no tile rows
@@ -220,7 +225,8 @@ _PYR_SCHEMA = T.StructType(
 )
 
 
-def tile_pyramid_features(df: DataFrame, zooms: tuple[int, ...] = (10, 14)) -> DataFrame:
+def tile_pyramid_features(df: DataFrame, zooms: tuple[int, ...] = (10, 14),
+                          on_error: str = "fail") -> DataFrame:
     """Multi-zoom tile assignment + per-image features in ONE decode pass.
 
     The production shape of the raster stage: a tile pyramid is built for
@@ -245,8 +251,13 @@ def tile_pyramid_features(df: DataFrame, zooms: tuple[int, ...] = (10, 14)) -> D
             fmts = b["fmt"].to_numpy()
             out = {k: [] for k in ("image_id", "z", "tx", "ty", "px_count",
                                    "sum_intensity", "std_lum", "hist0")}
+            from .operators.images import _decode_or_none
+
             for i in range(len(b)):
-                lum = imaging.decode_image(raws[i], fmts[i]).astype(np.float64).mean(axis=2)
+                px = _decode_or_none(raws[i], fmts[i], on_error)
+                if px is None:
+                    continue
+                lum = px.astype(np.float64).mean(axis=2)
                 std = float(lum.std())
                 hist, _ = np.histogram(lum, bins=8, range=(0.0, 256.0))
                 h0 = int(hist[0])
