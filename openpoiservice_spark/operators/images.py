@@ -91,7 +91,7 @@ _RESIZE_SCHEMA = T.StructType(
 )
 
 
-def resize_images(df: DataFrame, size: int = 16) -> DataFrame:
+def resize_images(df: DataFrame, size: int = 16, on_error: str = "fail") -> DataFrame:
     """Decode -> nearest-neighbour resize to (size x size) -> re-encode PNG.
 
     Real implementation (numpy index-grid sampling); swap the interpolation
@@ -103,12 +103,15 @@ def resize_images(df: DataFrame, size: int = 16) -> DataFrame:
             ids = b["image_id"].to_numpy()
             raws = b["bytes"].to_numpy()
             fmts = b["fmt"].to_numpy()
-            out = {"image_id": ids, "bytes": [], "w": [], "h": [], "fmt": []}
+            out = {"image_id": [], "bytes": [], "w": [], "h": [], "fmt": []}
             for i in range(len(b)):
-                px = imaging.decode_image(raws[i], fmts[i])
+                px = _decode_or_none(raws[i], fmts[i], on_error)
+                if px is None:
+                    continue
                 ys = (np.arange(size) * px.shape[0] // size)
                 xs = (np.arange(size) * px.shape[1] // size)
                 small = px[ys][:, xs]
+                out["image_id"].append(ids[i])
                 out["bytes"].append(imaging.encode_png(small))
                 out["w"].append(size)
                 out["h"].append(size)
@@ -127,7 +130,7 @@ _FRAME_SCHEMA = T.StructType(
 )
 
 
-def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
+def sample_frames(df: DataFrame, n_frames: int = 4, on_error: str = "fail") -> DataFrame:
     """Frame sampling for video payloads — DECODE STUB.
 
     No video codec library exists in this container, so rows whose fmt is a
@@ -150,7 +153,9 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
                         "sample_frames stub: no video codec in this container "
                         f"(fmt={fmts[i]!r}); plug pyav/ffmpeg decode here"
                     )
-                px = imaging.decode_image(raws[i], fmts[i])
+                px = _decode_or_none(raws[i], fmts[i], on_error)
+                if px is None:
+                    continue
                 for f in range(min(n_frames, 1)):
                     out["image_id"].append(ids[i])
                     out["frame_idx"].append(f)
