@@ -63,6 +63,11 @@ def main(argv=None):
     sm.add_argument("--prepared", required=True)
     sm.add_argument("--checkpoint", required=True)
 
+    se = sub.add_parser("export", help="distributed GeoJSONL export of a POI query")
+    se.add_argument("--prepared", required=True)
+    se.add_argument("--payload", required=True, help="JSON request dict")
+    se.add_argument("--out", required=True)
+
     sk = sub.add_parser("knn", help="k nearest POIs (lineage-seeded single probe)")
     sk.add_argument("--prepared", required=True)
     sk.add_argument("--lon", type=float, required=True)
@@ -145,6 +150,12 @@ def main(argv=None):
 
         streaming.stream_prepare(spark, args.raw_dir, args.prepared, args.checkpoint)
         print(json.dumps({"status": "drained"}))
+    elif args.cmd == "export":
+        from openpoiservice_spark.api import PoiEngine
+
+        eng = PoiEngine(spark, args.prepared)
+        n = eng.export_geojsonl(json.loads(args.payload), args.out)
+        print(json.dumps({"features": n, "out": args.out}))
     elif args.cmd == "knn":
         from openpoiservice_spark.api import PoiEngine
 

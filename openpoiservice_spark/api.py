@@ -313,15 +313,13 @@ class PoiEngine:
         return _knn.knn(self._df.drop("bytes", "caption"), lon, lat, k,
                         pcell_rows=self._pcell_rows, **kw)
 
-    def pois_df(self, payload: dict, cq: CompiledQuery | None = None) -> DataFrame:
-        """The POI query as a DataFrame plan (reference request_pois,
-        query_builder.py:31-113).  `bytes` is projected out before any
-        shuffle — the payload column never moves unless a downstream tile
-        stage asks for it."""
+    def _pois_base(self, payload: dict, cq: CompiledQuery | None = None) -> DataFrame:
+        """The un-limited POI plan: prefilter -> refine -> filters ->
+        distance.  `bytes`/`caption` deliberately absent: the GeoJSON
+        assembly never needs them, so they must not reach the scan's
+        ReadSchema."""
         cqs = [cq] if cq is not None else compile_geometry(payload["geometry"])
         cq = cqs[0]
-        # caption/bytes deliberately absent: the GeoJSON assembly never needs
-        # them, so they must not reach the scan's ReadSchema
         df = self._df.select(
             "image_id", "osm_type", "osm_id", "lon", "lat", "cell", "pcell",
             "tags", "category_ids",
@@ -331,7 +329,12 @@ class PoiEngine:
         df = df.filter(refine(F.col("lon"), F.col("lat")))
         df = self._apply_filters(df, payload.get("filters"))
         dist = make_distance_udf(cq.distance_spec, spheroid=self.spheroid_distance)
-        df = df.withColumn("distance", dist(F.col("lon"), F.col("lat")))
+        return df.withColumn("distance", dist(F.col("lon"), F.col("lat")))
+
+    def pois_df(self, payload: dict, cq: CompiledQuery | None = None) -> DataFrame:
+        """The POI query as a DataFrame plan (reference request_pois,
+        query_builder.py:31-113)."""
+        df = self._pois_base(payload, cq)
 
         limit = int(payload.get("limit", config.RESPONSE_LIMIT))
 
@@ -346,6 +349,68 @@ class PoiEngine:
             # reference's guarantee, same row set)
             df = df.orderBy("distance", "osm_id")
         return apply_limit_quirk(df, limit)
+
+    def features_df(self, payload: dict, cq: CompiledQuery | None = None) -> DataFrame:
+        """DISTRIBUTED GeoJSON feature assembly: one `feature` JSON string
+        per matching POI, built entirely with native columns (`to_json` over
+        structs; taxonomy names via a map literal) — no driver collect, no
+        response limit.  This is the bulk-export shape the reference cannot
+        produce (it assembles every feature in Flask): at 10^12 rows the
+        export is a write job, not a response body.
+
+        Semantics match `_feature_collection` per feature: 6-decimal
+        coordinates, Q4 sorted-deduped category object, Q9 osm_tags omitted
+        when empty.  (Coordinate rounding is Spark `round`; it can differ
+        from Python's format() only on exact decimal ties at the 7th digit,
+        which arbitrary doubles essentially never hit — asserted against
+        the driver assembly in tests.)"""
+        df = self._pois_base(payload, cq)
+        _, _, cat_info, _ = taxonomy.indices()
+        entries = []
+        for cid, info in cat_info.items():
+            entries.append(F.lit(str(int(cid))))
+            entries.append(F.struct(
+                F.lit(str(info["poi_name"])).alias("category_name"),
+                F.lit(str(info["poi_group"])).alias("category_group"),
+            ))
+        cat_map = F.create_map(*entries)
+        cats = F.map_from_entries(
+            F.transform(
+                F.array_sort(F.array_distinct(F.col("category_ids"))),
+                lambda i: F.struct(
+                    i.cast("string").alias("key"),
+                    F.element_at(cat_map, i.cast("string")).alias("value"),
+                ),
+            )
+        )
+        props = F.struct(
+            F.col("osm_id").alias("osm_id"),
+            F.col("osm_type").alias("osm_type"),
+            F.col("distance").alias("distance"),
+            cats.alias("category_ids"),
+            F.when(F.size(F.map_keys(F.col("tags"))) > 0, F.col("tags"))
+            .alias("osm_tags"),  # Q9: null -> omitted by to_json
+        )
+        feature = F.struct(
+            F.lit("Feature").alias("type"),
+            F.struct(
+                F.lit("Point").alias("type"),
+                F.array(F.round(F.col("lon"), 6), F.round(F.col("lat"), 6))
+                .alias("coordinates"),
+            ).alias("geometry"),
+            props.alias("properties"),
+        )
+        return df.select(
+            "osm_id", F.to_json(feature).alias("feature")
+        )
+
+    def export_geojsonl(self, payload: dict, path: str) -> int:
+        """Write the query's features as newline-delimited GeoJSON (one
+        feature per line) — a distributed sink job.  Returns the feature
+        count (from the write's own data, one extra cheap count job)."""
+        out = self.features_df(payload).select("feature")
+        out.write.mode("overwrite").text(path)
+        return self.spark.read.text(path).count()
 
     # ------------------------------------------------------------ requests
 

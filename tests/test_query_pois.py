@@ -440,3 +440,46 @@ def test_spheroid_distance_engine_option(spark, fixture_paths):
         assert abs(d_h - d_v) <= max(0.006 * d_h, 1e-9)  # flattening bound
         diffs += d_h != d_v
     assert diffs > 0  # spheroid math actually engaged
+
+
+def test_distributed_geojsonl_export_matches_driver_assembly(spark, fixture_paths, tmp_path):
+    """features_df/export_geojsonl: the executor-side native-to_json feature
+    assembly must equal the driver's _feature_collection feature-for-feature
+    (parsed JSON; key order is JSON-insignificant), and the sink writes one
+    valid feature per line with no response limit."""
+    import json
+
+    from openpoiservice_spark.api import PoiEngine
+
+    eng = PoiEngine(spark, fixture_paths["prepared"])
+    payload = {"request": "pois",
+               "geometry": {"geojson": {"type": "Point", "coordinates": P},
+                            "buffer": 400}}
+    driver_fc = eng.request(payload)
+    driver = {f["properties"]["osm_id"]: f for f in driver_fc["features"]}
+
+    dist = {}
+    for r in eng.features_df(payload).collect():
+        dist[r.osm_id] = json.loads(r.feature)
+    assert set(dist) == set(driver)
+    for oid, f in driver.items():
+        g = dist[oid]
+        assert g["type"] == "Feature" and g["geometry"]["type"] == "Point"
+        assert g["geometry"]["coordinates"] == f["geometry"]["coordinates"]
+        gp, fp = g["properties"], f["properties"]
+        assert gp["osm_id"] == fp["osm_id"] and gp["osm_type"] == fp["osm_type"]
+        assert abs(gp["distance"] - fp["distance"]) < 1e-9
+        # category object: driver keys are ints, JSON keys are strings
+        assert gp["category_ids"] == {str(k): v for k, v in fp["category_ids"].items()}
+        assert gp.get("osm_tags") == fp.get("osm_tags")  # Q9 omission parity
+
+    out = str(tmp_path / "export")
+    n = eng.export_geojsonl(payload, out)
+    assert n == len(driver)
+    import glob
+    lines = []
+    for p in glob.glob(f"{out}/part-*"):
+        with open(p) as fh:
+            lines += [ln for ln in fh.read().splitlines() if ln]
+    assert len(lines) == n
+    assert all(json.loads(ln)["type"] == "Feature" for ln in lines)
