@@ -32,6 +32,8 @@ def main(argv=None):
     sp.add_argument("--raw", required=True)
     sp.add_argument("--prepared", required=True)
     sp.add_argument("--no-resume", action="store_true")
+    sp.add_argument("--format", default="parquet", choices=("parquet", "jsonl", "csv"),
+                    help="raw source format (jsonl/csv carry base64 payloads)")
 
     sq = sub.add_parser("pois", help="run a POI/stats request payload")
     sq.add_argument("--prepared", required=True)
@@ -97,7 +99,8 @@ def main(argv=None):
         from openpoiservice_spark import prepare
 
         stats = prepare.prepare(spark, args.raw, args.prepared,
-                                resume=not args.no_resume)
+                                resume=not args.no_resume,
+                                raw_format=args.format)
         print(json.dumps(stats))
     elif args.cmd == "pois":
         from openpoiservice_spark.api import PoiEngine

@@ -173,8 +173,28 @@ def _salt_factors(spark: SparkSession, raw: DataFrame, skipped: set[int]):
     )
 
 
+def read_raw(spark: SparkSession, raw_path: str, raw_format: str = "parquet") -> DataFrame:
+    """Read the 7-column raw poi_images table from any supported source
+    format.  `jsonl`/`csv` carry the binary payload base64-encoded (the
+    interchange convention for web-scrape dumps); decode is a native
+    `unbase64`, so every format lands on the identical raw schema and the
+    rest of the import is source-agnostic."""
+    if raw_format == "parquet":
+        return spark.read.parquet(raw_path)
+    text_schema = ("image_id string, bytes_b64 string, w int, h int, "
+                   "fmt string, caption string, phash long")
+    if raw_format == "jsonl":
+        raw = spark.read.schema(text_schema).json(raw_path)
+    elif raw_format == "csv":
+        raw = spark.read.schema(text_schema).option("header", "true").csv(raw_path)
+    else:
+        raise ValueError(f"unsupported raw format {raw_format!r}")
+    return raw.withColumn("bytes", F.unbase64("bytes_b64")).select(*RAW_COLUMNS)
+
+
 def prepare(spark: SparkSession, raw_path: str, prepared_dir: str,
-            resume: bool = True, fingerprint: str | None = None) -> dict:
+            resume: bool = True, fingerprint: str | None = None,
+            raw_format: str = "parquet") -> dict:
     """Run the import job.  Returns {'pcells': n, 'rows': n, 'skipped': n}.
 
     Idempotence: dynamic partition overwrite means a re-run (or a retry of a
@@ -185,7 +205,7 @@ def prepare(spark: SparkSession, raw_path: str, prepared_dir: str,
     t0 = time.time()
     run_id = uuid.uuid4().hex[:12]
     fingerprint = fingerprint or raw_path
-    raw = spark.read.parquet(raw_path)
+    raw = read_raw(spark, raw_path, raw_format)
     df = derive(raw)
 
     skipped: set[int] = set()

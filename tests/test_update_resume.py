@@ -183,3 +183,58 @@ def test_merge_drops_fully_emptied_pcell(spark, tmp_path_factory):
         os.path.join(prepare.data_path(prepared), f"pcell={victim.pcell}"))
     # other partitions untouched
     assert after.count() == total_before - len(keys)
+
+
+def test_jsonl_and_csv_sources_match_parquet_import(spark, tmp_path):
+    """Source-format parity: the same raw rows ingested from JSONL and CSV
+    (base64 payloads) produce a prepared table answering the golden query
+    identically to the parquet import."""
+    import base64
+    import csv as _csv
+    import json
+
+    from openpoiservice_spark import fixtures
+    from openpoiservice_spark.api import PoiEngine
+
+    raw_pq = str(tmp_path / "raw.parquet")
+    fixtures.build_sf_test(raw_pq, n_filler=500)
+    rows = spark.read.parquet(raw_pq).collect()
+
+    jsonl = str(tmp_path / "raw.jsonl")
+    with open(jsonl, "w") as f:
+        for r in rows:
+            f.write(json.dumps({
+                "image_id": r.image_id,
+                "bytes_b64": base64.b64encode(bytes(r.bytes)).decode(),
+                "w": r.w, "h": r.h, "fmt": r.fmt,
+                "caption": r.caption, "phash": r.phash,
+            }) + "\n")
+    csvp = str(tmp_path / "raw.csv")
+    with open(csvp, "w", newline="") as f:
+        wr = _csv.writer(f)
+        wr.writerow(["image_id", "bytes_b64", "w", "h", "fmt", "caption", "phash"])
+        for r in rows:
+            wr.writerow([r.image_id, base64.b64encode(bytes(r.bytes)).decode(),
+                         r.w, r.h, r.fmt, r.caption, r.phash])
+
+    payload = {"request": "pois",
+               "geometry": {"geojson": {"type": "Point",
+                                        "coordinates": list(fixtures.POINT_P)},
+                            "buffer": 50}}
+    expect = None
+    for fmt, path in (("parquet", raw_pq), ("jsonl", jsonl), ("csv", csvp)):
+        prepared = str(tmp_path / f"prepared_{fmt}")
+        stats = prepare.prepare(spark, path, prepared, raw_format=fmt)
+        fc = PoiEngine(spark, prepared).request(payload)
+        ids = sorted(f["properties"]["osm_id"] for f in fc["features"])
+        assert stats["rows"] > 0
+        if expect is None:
+            expect = (stats["rows"], ids)
+            assert len(ids) == fixtures.GOLDEN_COUNTS["point_buffer50"]
+        else:
+            assert (stats["rows"], ids) == expect, fmt
+    # payload bytes survive the base64 round trip bit-for-bit
+    pq_bytes = {r.image_id: bytes(r.bytes) for r in rows[:20]}
+    jl = prepare.read_raw(spark, jsonl, "jsonl").filter(
+        F.col("image_id").isin(list(pq_bytes))).collect()
+    assert {r.image_id: bytes(r.bytes) for r in jl} == pq_bytes
