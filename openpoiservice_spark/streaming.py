@@ -179,14 +179,39 @@ def stream_sessionize(events, gap_s: int = 1800, watermark: str = "1 hour"):
     )
 
 
+_RAW_TEXT_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("bytes_b64", T.StringType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("caption", T.StringType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
 def stream_prepare(spark: SparkSession, raw_dir: str, prepared_dir: str,
-                   checkpoint_dir: str, max_files_per_trigger: int | None = None):
+                   checkpoint_dir: str, max_files_per_trigger: int | None = None,
+                   raw_format: str = "parquet"):
     """Drain new raw files into the prepared table; returns the query after
-    it has finished the available data (availableNow trigger)."""
-    reader = spark.readStream.schema(RAW_SCHEMA)
+    it has finished the available data (availableNow trigger).  `jsonl`
+    sources carry base64 payloads (same convention as prepare.read_raw)."""
+    if raw_format == "parquet":
+        reader = spark.readStream.schema(RAW_SCHEMA)
+    elif raw_format == "jsonl":
+        reader = spark.readStream.schema(_RAW_TEXT_SCHEMA)
+    else:
+        raise ValueError(f"unsupported stream raw format {raw_format!r}")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    raw = reader.parquet(raw_dir)
+    if raw_format == "parquet":
+        raw = reader.parquet(raw_dir)
+    else:
+        raw = (reader.json(raw_dir)
+               .withColumn("bytes", F.unbase64("bytes_b64"))
+               .select(*prepare.RAW_COLUMNS))
     derived = prepare.derive(raw)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:

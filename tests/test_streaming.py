@@ -321,3 +321,35 @@ def test_error_tolerant_decode_and_quarantine(spark):
     bad = {r.image_id: r.error for r in IM.scan_bad_payloads(df).collect()}
     assert set(bad) == {"bad1", "bad2"}
     assert all(e for e in bad.values())
+
+
+def test_stream_prepare_jsonl_source(spark, tmp_path):
+    """Streaming ingest from newline-JSON (base64 payloads) lands the same
+    rows as the batch parquet path."""
+    import base64
+    import json as _json
+
+    raw_dir = str(tmp_path / "raw_jsonl")
+    prepared = str(tmp_path / "prepared")
+    cp = str(tmp_path / "cp")
+    os.makedirs(raw_dir)
+
+    curated = fixtures.curated_frame(include_nocat=True)
+    with open(os.path.join(raw_dir, "c0.jsonl"), "w") as f:
+        for _, r in curated.iterrows():
+            f.write(_json.dumps({
+                "image_id": r["image_id"],
+                "bytes_b64": base64.b64encode(bytes(r["bytes"])).decode(),
+                "w": int(r["w"]), "h": int(r["h"]), "fmt": r["fmt"],
+                "caption": r["caption"], "phash": int(r["phash"]),
+            }) + "\n")
+
+    streaming.stream_prepare(spark, raw_dir, prepared, cp, raw_format="jsonl")
+    assert prepare.read_prepared(spark, prepared).count() == 38  # minus NOCAT
+
+    eng = PoiEngine(spark, prepared)
+    fc = eng.request({"request": "pois",
+                      "geometry": {"geojson": {"type": "Point",
+                                               "coordinates": list(fixtures.POINT_P)},
+                                   "buffer": 50}})
+    assert len(fc["features"]) == fixtures.GOLDEN_COUNTS["point_buffer50"]
