@@ -406,9 +406,14 @@ class PoiEngine:
 
     def export_geojsonl(self, payload: dict, path: str) -> int:
         """Write the query's features as newline-delimited GeoJSON (one
-        feature per line) — a distributed sink job.  Returns the feature
-        count (from the write's own data, one extra cheap count job)."""
-        out = self.features_df(payload).select("feature")
+        feature per line) — a distributed sink job.  MultiPolygon payloads
+        fan out per polygon exactly like the request path (views.py:126-131)
+        with the per-part line sets concatenated.  Returns the feature count
+        (from the write's own data, one extra cheap count job)."""
+        cqs = compile_geometry(payload["geometry"])
+        out = self.features_df(payload, cqs[0]).select("feature")
+        for cq in cqs[1:]:
+            out = out.unionByName(self.features_df(payload, cq).select("feature"))
         out.write.mode("overwrite").text(path)
         return self.spark.read.text(path).count()
 
