@@ -396,6 +396,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "poi_id", F.expr(D.snip_fp64("poi_id")).alias("fp"))
         return IM.hamming_pairs(view, col="fp", key="poi_id", max_dist=3, bands=4)
 
+    def image_phash_capped(spark, sf):
+        # hamming skew guard END-TO-END under the oracle: max_bucket=4
+        # excludes real oversized band buckets at both gate scales (max 7 at
+        # sf0.001, 16 at sf0.01) — the capped pair set genuinely differs
+        from openpoiservice_spark.operators import images as IM
+
+        view = D.spark_poi_view(spark, sf).select(
+            "poi_id", F.expr(D.snip_fp64("poi_id")).alias("fp"))
+        return IM.hamming_pairs(view, col="fp", key="poi_id", max_dist=3,
+                                bands=4, max_bucket=4)
+
     return {
         "pois_bbox": pois_bbox,
         "pois_radius": pois_radius,
@@ -437,6 +448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pairs": ann_pairs,
         "ann_ivf_top10": ann_ivf,
         "image_phash_pairs": image_phash_pairs,
+        "image_phash_capped": image_phash_capped,
     }
 
 
@@ -675,6 +687,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pairs": _sql_ann_pairs(),
         "ann_ivf_top10": _sql_ann_ivf(),
         "image_phash_pairs": _sql_phash_pairs(),
+        "image_phash_capped": _sql_phash_pairs(4),
     }
     return out
 
@@ -834,15 +847,22 @@ def _sql_ann_pairs() -> str:
     )
 
 
-def _sql_phash_pairs() -> str:
+def _sql_phash_pairs(max_bucket: int | None = None) -> str:
     """DuckDB twin of operators/images.hamming_pairs over snip_fp64: 4x16-bit
-    band buckets -> candidate self-join -> exact bit_count(xor) <= 3."""
+    band buckets -> candidate self-join -> exact bit_count(xor) <= 3;
+    `max_bucket` applies the same HAVING-count bucket exclusion as the
+    operator's skew guard."""
+    if max_bucket is None:
+        bok = "e"
+    else:
+        bok = ("(SELECT e.* FROM e JOIN (SELECT band, bh FROM e GROUP BY 1, 2 "
+               f"HAVING count(*) <= {max_bucket}) ok USING (band, bh))")
     return (
         f"{_POI}, fp AS (SELECT poi_id, {D.snip_fp64('poi_id')} AS fp FROM poi), "
         "e AS (SELECT poi_id, fp, b.band, (fp >> (b.band * 16)) & 65535 AS bh "
         "FROM fp, (VALUES (0), (1), (2), (3)) b(band)), "
-        "cand AS (SELECT DISTINCT l.poi_id AS key_a, r.poi_id AS key_b, "
-        "l.fp AS fa, r.fp AS fb FROM e l JOIN e r "
+        f"cand AS (SELECT DISTINCT l.poi_id AS key_a, r.poi_id AS key_b, "
+        f"l.fp AS fa, r.fp AS fb FROM {bok} l JOIN {bok} r "
         "ON l.band = r.band AND l.bh = r.bh AND l.poi_id < r.poi_id) "
         "SELECT key_a, key_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming "
         "FROM cand WHERE bit_count(xor(fa, fb)) <= 3"
