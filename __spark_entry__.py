@@ -29,6 +29,7 @@ from openpoiservice_spark import derive as D
 from openpoiservice_spark import geo as G
 from openpoiservice_spark import knn as K
 from openpoiservice_spark import tiles as TI
+from openpoiservice_spark import batchjoin as BJ
 from openpoiservice_spark.functions import cell_expr, cell_parent_expr, make_refine_udf
 from openpoiservice_spark.operators import ann as ANN
 from openpoiservice_spark.operators import text as TX
@@ -74,6 +75,38 @@ _RESTRICT_IDS = sorted({cat for _, _, cat, _ in D.POOL})[:6]
 #: subset table (full-parity gate pois_category_new_leaf)
 _NEW_LEAF_IDS = (299, 488)
 _CENTROIDS = ANN.ivf_centroids(16, 64, seed=21)
+
+
+def _batch_bboxes(k: int = 200, seed: int = 31):
+    """Deterministic synthetic bbox layer over the derived lon/lat domain
+    (7.5..14 E, 52..54 N) — the N-geometry side of the batch spatial join
+    gate.  Full-precision floats; the same values are inlined as literals
+    into the DuckDB VALUES twin."""
+    rng = np.random.default_rng(seed)
+    out = []
+    for gid in range(k):
+        w = 0.05 + 0.45 * float(rng.random())
+        h = 0.03 + 0.25 * float(rng.random())
+        x1 = 7.5 + (6.5 - w) * float(rng.random())
+        y1 = 52.0 + (2.0 - h) * float(rng.random())
+        out.append((gid, (x1, y1, x1 + w, y1 + h)))
+    return out
+
+
+def _batch_circles(k: int = 100, seed: int = 37):
+    """Deterministic point+radius layer (batch radius-query analogue)."""
+    rng = np.random.default_rng(seed)
+    out = []
+    for gid in range(k):
+        lon0 = 7.5 + 6.5 * float(rng.random())
+        lat0 = 52.0 + 2.0 * float(rng.random())
+        r = 3_000.0 + 17_000.0 * float(rng.random())
+        out.append((gid, lon0, lat0, r))
+    return out
+
+
+_BATCH_BBOXES = _batch_bboxes()
+_BATCH_CIRCLES = _batch_circles()
 
 
 # --------------------------------------------------------------- entry
@@ -385,6 +418,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ann_ivf(spark, sf):
         return ANN.ivf_topk(_emb(spark, sf), _QVEC, 10, _CENTROIDS, nprobe=2)
 
+    def pois_batch_join(spark, sf):
+        # J7 BATCH mode (round-3 verdict item 1): N query geometries joined
+        # against the POI table in ONE job — distributed cover explode,
+        # repartition-by-cell equi-join, per-geometry exact refine
+        # (batchjoin.batch_spatial_join); never a cartesian product
+        # (plan-asserted in tests/test_batchjoin.py)
+        view = D.spark_poi_view(spark, sf)
+        items = [(gid, G.bbox_spec(x1, y1, x2, y2), 0.0)
+                 for gid, (x1, y1, x2, y2) in _BATCH_BBOXES]
+        gdf = BJ.geoms_to_df(spark, items)
+        return BJ.batch_spatial_join(view, gdf, res=_GEO_RES,
+                                     keep_cols=("poi_id",))
+
+    def pois_batch_counts(spark, sf):
+        # batch stats analogue: per-geometry match counts over a
+        # point+radius layer (haversine refine — exercises the non-bbox
+        # refine path under the oracle)
+        view = D.spark_poi_view(spark, sf)
+        items = [(gid, G.GeomSpec("point", [(lon0, lat0)]), r)
+                 for gid, lon0, lat0, r in _BATCH_CIRCLES]
+        gdf = BJ.geoms_to_df(spark, items)
+        return BJ.batch_join_counts(view, gdf, res=_GEO_RES,
+                                    keep_cols=("poi_id",))
+
     def image_phash_pairs(spark, sf):
         # image near-dup by 64-bit fingerprint: banded hamming LSH + exact
         # popcount verify (operators/images.hamming_pairs).  The fingerprint
@@ -449,6 +506,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_top10": ann_ivf,
         "image_phash_pairs": image_phash_pairs,
         "image_phash_capped": image_phash_capped,
+        "pois_batch_join": pois_batch_join,
+        "pois_batch_counts": pois_batch_counts,
     }
 
 
@@ -688,8 +747,47 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_top10": _sql_ann_ivf(),
         "image_phash_pairs": _sql_phash_pairs(),
         "image_phash_capped": _sql_phash_pairs(4),
+        "pois_batch_join": _sql_batch_join(),
+        "pois_batch_counts": _sql_batch_counts(),
     }
     return out
+
+
+def _sql_batch_join() -> str:
+    """DuckDB twin of the batch spatial join gate: the same bbox layer as a
+    VALUES table, range-joined against the derived POI view.  The engine's
+    per-geometry exact refine (ray-cast on the bbox ring) and the plain
+    range predicate agree everywhere except exactly ON a boundary, which the
+    synthetic doubles never hit."""
+    vals = ", ".join(
+        f"(CAST({gid} AS BIGINT), {x1!r}, {y1!r}, {x2!r}, {y2!r})"
+        for gid, (x1, y1, x2, y2) in _BATCH_BBOXES
+    )
+    return (
+        f"{_POI}, g(geom_id, x1, y1, x2, y2) AS (VALUES {vals}) "
+        "SELECT g.geom_id, p.poi_id FROM poi p JOIN g "
+        "ON p.lon >= g.x1 AND p.lon <= g.x2 AND p.lat >= g.y1 AND p.lat <= g.y2"
+    )
+
+
+def _sql_batch_counts() -> str:
+    """Per-geometry counts over the point+radius layer: generic haversine
+    (column-ref form of derive.sql_haversine) against each circle center."""
+    vals = ", ".join(
+        f"(CAST({gid} AS BIGINT), {lon0!r}, {lat0!r}, {r!r})"
+        for gid, lon0, lat0, r in _BATCH_CIRCLES
+    )
+    hav = (
+        f"(2.0 * {D.EARTH_R!r} * asin(least(1.0, sqrt("
+        "pow(sin((radians(p.lat) - radians(g.y0)) / 2.0), 2) "
+        "+ cos(radians(g.y0)) * cos(radians(p.lat)) "
+        "* pow(sin((radians(p.lon) - radians(g.x0)) / 2.0), 2)))))"
+    )
+    return (
+        f"{_POI}, g(geom_id, x0, y0, r) AS (VALUES {vals}) "
+        f"SELECT g.geom_id, count(*) AS n_pois FROM poi p JOIN g ON {hav} <= g.r "
+        "GROUP BY 1"
+    )
 
 
 def _sql_category_restrict() -> str:

@@ -151,6 +151,7 @@ def knn(df: DataFrame, lon: float, lat: float, k: int,
     # the common case; the doubling loop remains the stat-free fallback.
     seeded = seed_radius(lon, lat, k, pcell_rows or {}, res, max_rings)
     r = seeded if seeded is not None else max(1, int(np.ceil(np.sqrt(k) / 2.0)))
+    r_init = r
     probes = 0
     while True:
         topk = topk_df(r)
@@ -174,6 +175,6 @@ def knn(df: DataFrame, lon: float, lat: float, k: int,
         fence_reprobe = True
         probes += 1
     if probe_stats is not None:
-        probe_stats.update(probes=probes, r0=r if seeded is None else seeded,
+        probe_stats.update(probes=probes, r0=r_init,
                            fence_reprobe=fence_reprobe)
     return topk

@@ -213,7 +213,10 @@ def dct_phash(df: DataFrame, on_error: str = "fail") -> DataFrame:
                 h = np.uint64(0)
                 for bit in bits:
                     h = (h << np.uint64(1)) | bit
-                out["dct_phash"].append(np.int64(h))
+                # two's-complement reinterpretation via Python int: NumPy 2.x
+                # raises OverflowError on np.int64(uint64-with-bit-63-set)
+                hv = int(h)
+                out["dct_phash"].append(hv - (1 << 64) if hv >= (1 << 63) else hv)
             if out["image_id"]:
                 yield pd.DataFrame(out)
 

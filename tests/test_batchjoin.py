@@ -1,0 +1,159 @@
+"""Many-geometry batch spatial join (batchjoin.py) — correctness vs brute
+force, plan shape (equi-join, never cartesian), and salting invariance."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from openpoiservice_spark import batchjoin as BJ
+from openpoiservice_spark import cells, derive, geo
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def view(spark):
+    return derive.spark_poi_view(spark, "/root/testdata/sf0.001").cache()
+
+
+@pytest.fixture(scope="module")
+def geom_items():
+    # every geometry kind through one batch: bbox, circle, corridor,
+    # polygon-with-hole
+    ring = list(derive.POLY_Q) + [derive.POLY_Q[0]]
+    hole = list(derive.HOLE_Q) + [derive.HOLE_Q[0]]
+    return [
+        (0, geo.bbox_spec(8.0, 52.2, 8.9, 52.7), 0.0),
+        (1, geo.GeomSpec("point", [(10.0, 53.0)]), 12_000.0),
+        (2, geo.GeomSpec("linestring", derive.LINE_Q), 8_000.0),
+        (3, geo.GeomSpec("polygon", ring, holes=[hole]), 0.0),
+        (4, geo.bbox_spec(13.2, 52.1, 13.9, 52.3), 1_000.0),
+    ]
+
+
+def _brute(points, items):
+    """Row-level multiset of (geom_id, poi_id) matches — the derived view
+    contains duplicate poi_ids (synthetic lineitem collisions), and the
+    operator's inner-join semantics keep row multiplicity."""
+    from collections import Counter
+
+    lon = np.array([p.lon for p in points])
+    lat = np.array([p.lat for p in points])
+    pid = np.array([p.poi_id for p in points])
+    out = Counter()
+    for gid, spec, buf in items:
+        ok = spec.within_m(lon, lat, buf)
+        out.update((gid, int(i)) for i in pid[ok])
+    return out
+
+
+def test_batch_join_matches_brute_force(spark, view, geom_items):
+    from collections import Counter
+
+    gdf = BJ.geoms_to_df(spark, geom_items)
+    got = Counter(
+        (r.geom_id, r.poi_id)
+        for r in BJ.batch_spatial_join(view, gdf, res=12).collect()
+    )
+    want = _brute(view.select("poi_id", "lon", "lat").collect(), geom_items)
+    assert got == want
+    assert len(got) > 0
+    # every geometry that should match does (incl. the holes polygon)
+    assert {g for g, _ in got} == {g for g, _ in want}
+
+
+def test_batch_join_counts(spark, view, geom_items):
+    gdf = BJ.geoms_to_df(spark, geom_items)
+    counts = {r.geom_id: r.n_pois
+              for r in BJ.batch_join_counts(view, gdf, res=12).collect()}
+    want = _brute(view.select("poi_id", "lon", "lat").collect(), geom_items)
+    brute_counts = {}
+    for (g, _), n in want.items():
+        brute_counts[g] = brute_counts.get(g, 0) + n
+    assert counts == brute_counts
+
+
+def test_batch_join_plan_is_shuffled_equi_join(spark, view, geom_items):
+    """The scale contract: an EQUI-join on the cell key — never a cartesian
+    product or nested loop, whatever N_geoms is.  With auto-broadcast off
+    (both sides too big, the 100 TB case) the plan must be a repartition-by-
+    cell shuffle join with hash partitioning on BOTH sides; at small scale
+    Catalyst may broadcast the smaller side instead, which is the correct
+    adaptive degeneration (covers broadcast => the big point side never
+    shuffles at all)."""
+    gdf = BJ.geoms_to_df(spark, geom_items)
+    small_plan = _plan(BJ.batch_spatial_join(view, gdf, res=12))
+    assert "CartesianProduct" not in small_plan
+    assert "BroadcastNestedLoopJoin" not in small_plan
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(BJ.batch_spatial_join(view, gdf, res=12))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+    # both sides hash-partitioned on the cell key
+    assert plan.count("hashpartitioning(qcell") >= 2
+
+
+def test_batch_join_salting_invariance(spark, view, geom_items):
+    """Salting a hot cell fans its join work S ways without changing the
+    result — same pairs, same counts."""
+    from collections import Counter
+
+    gdf = BJ.geoms_to_df(spark, geom_items)
+    base = Counter(
+        (r.geom_id, r.poi_id)
+        for r in BJ.batch_spatial_join(view, gdf, res=12).collect()
+    )
+    # salt every pcell the data actually occupies (max salt pressure)
+    pcs = [r[0] for r in view.select(
+        BJ.cell_expr(F.col("lon"), F.col("lat"), cells.PARTITION_RES)
+    ).distinct().collect()]
+    salted = Counter(
+        (r.geom_id, r.poi_id)
+        for r in BJ.batch_spatial_join(
+            view, gdf, res=12, salt_cells={int(pc): 8 for pc in pcs}
+        ).collect()
+    )
+    assert salted == base
+
+
+def test_batch_join_dateline_geometry(spark):
+    """A wrapped bbox (min_lon > max_lon) joins points on both sides of the
+    antimeridian in the same batch as ordinary geometries."""
+    pts = spark.createDataFrame(
+        [(1, 179.5, 0.1), (2, -179.5, -0.1), (3, 170.0, 0.0), (4, 0.0, 0.0)],
+        "poi_id long, lon double, lat double",
+    )
+    items = [(0, geo.bbox_spec(179.0, -1.0, -179.0, 1.0), 0.0),
+             (1, geo.bbox_spec(-1.0, -1.0, 1.0, 1.0), 0.0)]
+    gdf = BJ.geoms_to_df(spark, items)
+    got = {(r.geom_id, r.poi_id)
+           for r in BJ.batch_spatial_join(pts, gdf, res=8).collect()}
+    assert got == {(0, 1), (0, 2), (1, 4)}
+
+
+def test_auto_salt_cells():
+    m = BJ.auto_salt_cells({10: 100, 11: 5_000_000, 12: 80_000_000},
+                           threshold=2_000_000)
+    assert 10 not in m
+    assert m[11] == 3
+    assert m[12] == 32  # capped
+
+
+def test_geom_pack_roundtrip():
+    ring = list(derive.POLY_Q) + [derive.POLY_Q[0]]
+    hole = list(derive.HOLE_Q) + [derive.HOLE_Q[0]]
+    spec = geo.GeomSpec("polygon", ring, holes=[hole])
+    spec2, buf = BJ._unpack_geom(BJ.pack_geom(spec, 42.0))
+    assert buf == 42.0
+    assert spec2.kind == "polygon"
+    assert np.array_equal(spec2.coords, spec.coords)
+    assert len(spec2.holes) == 1
+    assert np.array_equal(spec2.holes[0], spec.holes[0])
