@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import time
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -74,6 +75,55 @@ def derive(raw: DataFrame) -> DataFrame:
 
 def _lineage_path(prepared_dir: str) -> str:
     return f"{prepared_dir}/lineage"
+
+
+class CommitConflict(Exception):
+    """Another writer holds the prepared table's commit lock."""
+
+
+def _hadoop_fs(spark: SparkSession, path_str: str):
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, p
+
+
+@contextmanager
+def commit_lock(spark: SparkSession, prepared_dir: str,
+                timeout_s: float = 120.0, poll_s: float = 0.25):
+    """Single-writer fencing for the prepared table (round-3 verdict item 3).
+
+    Every mutation (import, merge, stream micro-batch) runs its WHOLE
+    read-compute-write-commit cycle under this lock, so concurrent writers
+    serialize instead of silently losing updates: a merge snapshots the
+    table, rewrites pcell directories via dynamic partition overwrite, and
+    appends lineage — unfenced, a second merge computed from the same
+    snapshot would overwrite the first's rewrite (lost update), and a
+    stream append landing between a merge's read and write would be wiped
+    by the directory overwrite.
+
+    Mechanism: atomic `FileSystem.createNewFile` on `<prepared>/_commit.lock`
+    — atomic on local FS and HDFS (the rename-based stores Iceberg also
+    relies on for its commit).  On S3-like stores without atomic create,
+    swap the table for a real Iceberg catalog commit (SURVEY.md §1.3 — the
+    layout is Iceberg-pluggable by design).  A writer that dies holding the
+    lock leaves a stale file: the timeout raises CommitConflict naming the
+    path so an operator (or a TTL sweeper) can clear it — the same failure
+    shape as a stale Hive/HDFS lock."""
+    fs, p = _hadoop_fs(spark, f"{prepared_dir}/_commit.lock")
+    fs.mkdirs(p.getParent())
+    deadline = time.time() + timeout_s
+    while not fs.createNewFile(p):
+        if time.time() > deadline:
+            raise CommitConflict(
+                f"timed out after {timeout_s}s waiting for {p} — another "
+                "writer is active (or died holding the lock; delete the file "
+                "to recover)")
+        time.sleep(poll_s)
+    try:
+        yield
+    finally:
+        fs.delete(p, False)
 
 
 def data_path(prepared_dir: str) -> str:
@@ -207,7 +257,13 @@ def prepare(spark: SparkSession, raw_path: str, prepared_dir: str,
     fingerprint = fingerprint or raw_path
     raw = read_raw(spark, raw_path, raw_format)
     df = derive(raw)
+    with commit_lock(spark, prepared_dir):
+        return _prepare_locked(spark, raw, df, prepared_dir, resume,
+                               fingerprint, run_id, t0)
 
+
+def _prepare_locked(spark, raw, df, prepared_dir, resume, fingerprint,
+                    run_id, t0) -> dict:
     skipped: set[int] = set()
     if resume:
         skipped = committed_pcells(spark, prepared_dir, fingerprint)
@@ -282,6 +338,13 @@ def merge(spark: SparkSession, prepared_dir: str, upserts_raw: DataFrame,
     run_id = uuid.uuid4().hex[:12]
     delete_keys = delete_keys or []
     ups = derive(upserts_raw).cache()
+    # the WHOLE read-compute-write cycle is fenced: the affected-pcell scan
+    # and the slice read must see the table state the overwrite will replace
+    with commit_lock(spark, prepared_dir):
+        return _merge_locked(spark, prepared_dir, ups, delete_keys, run_id, t0)
+
+
+def _merge_locked(spark, prepared_dir, ups, delete_keys, run_id, t0) -> dict:
     cur = read_prepared(spark, prepared_dir)
 
     # affected partitions: pcells receiving upserts, pcells CURRENTLY holding

@@ -71,32 +71,41 @@ def _write_batch(batch_df: DataFrame, prepared_dir: str, fp: str) -> None:
     spark = batch_df.sparkSession
     batch_df = batch_df.cache()
     try:
-        stats = (
-            batch_df.groupBy("pcell")
-            .agg(F.count("*").alias("n_rows"),
-                 F.sum(F.length("caption")).alias("approx_bytes"))
-            .collect()
-        )
-        if not stats:
-            return
-        (
-            batch_df.sortWithinPartitions("pcell", "cell")
-            .write.mode("append")
-            .option("compression", "uncompressed")
-            .option("parquet.block.size", 8 * 1024 * 1024)
-            .partitionBy("pcell")
-            .parquet(prepare.data_path(prepared_dir))
-        )
-        wall_ms = int((time.time() - t0) * 1000)
-        ts = time.time()
-        prepare._append_lineage(spark, prepared_dir, [
-            dict(run_id=fp[-12:], op="stream", fingerprint=fp, pcell=int(r.pcell),
-                 n_rows=int(r.n_rows), approx_bytes=int(r.approx_bytes or 0),
-                 wall_ms=wall_ms, status="committed", ts=ts)
-            for r in stats
-        ])
+        # fenced against concurrent merges: an append landing between a
+        # merge's snapshot read and its dynamic-partition overwrite would be
+        # deleted by the directory rewrite (prepare.commit_lock)
+        with prepare.commit_lock(spark, prepared_dir):
+            _write_batch_locked(batch_df, spark, prepared_dir, fp, t0)
     finally:
         batch_df.unpersist()
+
+
+def _write_batch_locked(batch_df: DataFrame, spark, prepared_dir: str,
+                        fp: str, t0: float) -> None:
+    stats = (
+        batch_df.groupBy("pcell")
+        .agg(F.count("*").alias("n_rows"),
+             F.sum(F.length("caption")).alias("approx_bytes"))
+        .collect()
+    )
+    if not stats:
+        return
+    (
+        batch_df.sortWithinPartitions("pcell", "cell")
+        .write.mode("append")
+        .option("compression", "uncompressed")
+        .option("parquet.block.size", 8 * 1024 * 1024)
+        .partitionBy("pcell")
+        .parquet(prepare.data_path(prepared_dir))
+    )
+    wall_ms = int((time.time() - t0) * 1000)
+    ts = time.time()
+    prepare._append_lineage(spark, prepared_dir, [
+        dict(run_id=fp[-12:], op="stream", fingerprint=fp, pcell=int(r.pcell),
+             n_rows=int(r.n_rows), approx_bytes=int(r.approx_bytes or 0),
+             wall_ms=wall_ms, status="committed", ts=ts)
+        for r in stats
+    ])
 
 
 SESSION_SCHEMA = T.StructType([

@@ -1,0 +1,127 @@
+"""Concurrent-writer fencing for the prepared table's commit protocol
+(round-3 verdict item 3): two merges racing, stream-append racing a merge,
+and the conflict/recovery path of prepare.commit_lock."""
+
+import threading
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from openpoiservice_spark import fixtures, prepare, streaming
+
+
+def _ups_frame(ids):
+    # all rows within meters of one spot => one pcell (the racing writers
+    # genuinely contend on the same partition directory)
+    rows = [(oid, 5.0 + 0.0001 * i, 5.0 + 0.0001 * i,
+             {"amenity": "cafe", "name": f"poi-{oid}"})
+            for i, oid in enumerate(ids)]
+    return fixtures._rows_to_frame(rows)
+
+
+def _write_ups(tmp_path, name, ids):
+    p = str(tmp_path / f"ups_{name}.parquet")
+    pq.write_table(pa.Table.from_pandas(_ups_frame(ids), preserve_index=False), p)
+    return p
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    raw = str(tmp_path / "raw.parquet")
+    prepared = str(tmp_path / "prepared")
+    fixtures.build_sf_test(raw, n_filler=300)
+    prepare.prepare(spark, raw, prepared)
+    return prepared
+
+
+def test_two_racing_merges_lose_nothing(spark, table, tmp_path):
+    """Two merges into the SAME pcell launched concurrently: with the commit
+    lock they serialize and BOTH upsert sets survive (unfenced, the loser's
+    dynamic-partition rewrite — computed from the pre-merge snapshot — would
+    silently drop the winner's rows)."""
+    ids_a = [9_100_000 + i for i in range(5)]
+    ids_b = [9_200_000 + i for i in range(5)]
+    pa_path = _write_ups(tmp_path, "a", ids_a)
+    pb_path = _write_ups(tmp_path, "b", ids_b)
+
+    errs = []
+
+    def run(path):
+        try:
+            prepare.merge(spark, table, spark.read.parquet(path))
+        except Exception as e:  # noqa: BLE001 — surfaced via assert below
+            errs.append(e)
+
+    t1 = threading.Thread(target=run, args=(pa_path,))
+    t2 = threading.Thread(target=run, args=(pb_path,))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+
+    got = {r.osm_id for r in
+           prepare.read_prepared(spark, table).select("osm_id").collect()}
+    assert set(ids_a) <= got and set(ids_b) <= got
+    # the upserted rows share one pcell — this was a genuine write conflict
+    pcs = {r.pcell for r in prepare.read_prepared(spark, table)
+           .filter(F.col("osm_id").isin(ids_a + ids_b))
+           .select("pcell").distinct().collect()}
+    assert len(pcs) == 1
+
+
+def test_stream_append_racing_merge(spark, table, tmp_path):
+    """A streaming micro-batch append racing a merge: the merge's directory
+    overwrite must not wipe the appended files (both land, lineage records
+    both)."""
+    ids_stream = [9_300_000 + i for i in range(5)]
+    ids_merge = [9_400_000 + i for i in range(5)]
+    stream_path = _write_ups(tmp_path, "stream", ids_stream)
+    merge_path = _write_ups(tmp_path, "merge", ids_merge)
+    derived = prepare.derive(spark.read.parquet(stream_path))
+
+    errs = []
+
+    def run_stream():
+        try:
+            streaming._write_batch(derived, table, "stream:conc:batch:0")
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    def run_merge():
+        try:
+            prepare.merge(spark, table, spark.read.parquet(merge_path))
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    t1 = threading.Thread(target=run_stream)
+    t2 = threading.Thread(target=run_merge)
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+
+    got = {r.osm_id for r in
+           prepare.read_prepared(spark, table).select("osm_id").collect()}
+    assert set(ids_stream) <= got and set(ids_merge) <= got
+    lin = prepare.read_lineage(spark, table)
+    ops = {r.op for r in lin.select("op").distinct().collect()}
+    assert {"import", "merge", "stream"} <= ops
+
+
+def test_commit_conflict_raises_then_recovers(spark, table, tmp_path):
+    """A stale/held lock raises CommitConflict with the lock path named;
+    after the lock clears, the same merge succeeds."""
+    fs, p = prepare._hadoop_fs(spark, f"{table}/_commit.lock")
+    assert fs.createNewFile(p)  # a dead writer's leftover
+    ids = [9_500_000]
+    path = _write_ups(tmp_path, "c", ids)
+    try:
+        with pytest.raises(prepare.CommitConflict, match="_commit.lock"):
+            with prepare.commit_lock(spark, table, timeout_s=0.6, poll_s=0.1):
+                pass
+    finally:
+        fs.delete(p, False)
+    prepare.merge(spark, table, spark.read.parquet(path))
+    got = {r.osm_id for r in
+           prepare.read_prepared(spark, table).select("osm_id").collect()}
+    assert ids[0] in got
+    # the lock is released after a successful commit
+    assert not fs.exists(p)

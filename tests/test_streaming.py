@@ -185,6 +185,71 @@ def test_stream_sessionize_stateful(spark, tmp_path):
     assert rows == {(1, 1000, 1400, 3), (2, 2000, 2500, 2), (3, 5000, 5600, 3)}
 
 
+def test_stream_sessionize_late_arrivals_divergence(spark, tmp_path):
+    """Late-arrival semantics, asserted exactly (round-3 verdict item 5).
+
+    An event older than the OPEN session by more than the gap but still
+    inside the watermark emits as its own single-event session
+    (streaming.py too-early-to-merge branch) — the batch twin would have
+    merged it into the already-emitted previous session, which append mode
+    cannot retract.  An event older than the watermark is dropped entirely.
+    Both divergences are pinned here, next to the batch-twin result they
+    diverge from."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    raw_dir = str(tmp_path / "events")
+    os.makedirs(raw_dir)
+
+    def chunk(rows, name):
+        df = pd.DataFrame(rows, columns=["user_id", "t"])
+        df["ts"] = pd.to_datetime(df.pop("t"), unit="s", utc=True).astype("datetime64[us, UTC]")
+        _write_chunk(df, os.path.join(raw_dir, name))
+
+    # batch 0 (user 7): session (15000..15500) closed by the 20000 event,
+    # which opens a new session.  Watermark after batch 0 = 20000-3600=16400.
+    chunk([(7, 15000), (7, 15500), (7, 20000)], "c0.parquet")
+    # batch 1: late 17000 — inside the watermark (>16400) but 3000 s before
+    # the open session's start (> gap 1800): too early to merge forward.
+    # 16000 for user 8 is OLDER than the watermark: dropped, no state, no
+    # session.
+    chunk([(7, 17000), (8, 16000)], "c1.parquet")
+
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", "1").parquet(raw_dir))
+    q = (streaming.stream_sessionize(src, gap_s=1800)
+         .writeStream.format("memory").queryName("sess_late")
+         .option("checkpointLocation", str(tmp_path / "cp"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    rows = {(r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in spark.sql("SELECT * FROM sess_late").collect()}
+    # streaming result: the closed first session + the late single-event
+    # session; (7, 20000..) is still open in state; user 8 never appears
+    assert rows == {(7, 15000, 15500, 2), (7, 17000, 17000, 1)}
+
+    # the batch twin over the SAME events (events_sessions semantics: global
+    # sort, 1800 s gap) would merge 17000 into the first session — the
+    # documented retraction-free divergence, computed here so the delta is
+    # pinned, not hand-waved
+    ts = sorted([15000, 15500, 17000, 20000])
+    sessions, cur = [], [ts[0], ts[0], 1]
+    for t in ts[1:]:
+        if t - cur[1] > 1800:
+            sessions.append(tuple(cur))
+            cur = [t, t, 1]
+        else:
+            cur[1], cur[2] = t, cur[2] + 1
+    sessions.append(tuple(cur))
+    assert sessions == [(15000, 17000, 3), (20000, 20000, 1)]
+    assert (7, 15000, 17000, 3) not in rows  # the divergence, explicitly
+
+
 def test_pcell_stats_sum_stream_deltas(spark, tmp_path):
     """Planner density stats: import/merge lineage rows are pcell TOTALS,
     stream rows are per-batch DELTAS — the estimate must be the latest
