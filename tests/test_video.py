@@ -1,0 +1,131 @@
+"""AVI container codec (video.py) + real frame sampling through Spark
+(round-3 verdict item 4: the last multimodal stub is now a real decode)."""
+
+import numpy as np
+import pytest
+
+from openpoiservice_spark import imaging, video
+
+
+def _frames(n=6, h=24, w=32, seed=0):
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(n):
+        base = np.add.outer(np.arange(h) * 3, np.arange(w) * 2)[..., None]
+        f = np.clip(base + i * 10 + rng.integers(0, 8, (h, w, 3)), 0, 255)
+        out.append(f.astype(np.uint8))
+    return out
+
+
+def test_avi_rgb_roundtrip_lossless():
+    frames = _frames()
+    data = video.encode_avi(frames, codec="rgb")
+    assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+    assert b"idx1" in data
+    dec = video.decode_avi(data)
+    assert len(dec) == len(frames)
+    for a, b in zip(frames, dec):
+        assert np.array_equal(a, b)
+
+
+def test_avi_mjpeg_roundtrip_psnr40():
+    frames = _frames()
+    data = video.encode_avi(frames, codec="mjpeg")
+    info = video.probe_avi(data)
+    assert info["codec"] == "mjpeg" and (info["w"], info["h"]) == (32, 24)
+    dec = video.decode_avi(data)
+    assert len(dec) == len(frames)
+    for a, b in zip(frames, dec):
+        assert imaging.psnr(a, b) >= 40.0  # the north-rule lossy bar
+
+
+def test_avi_random_access_decodes_only_requested():
+    frames = _frames(10)
+    data = video.encode_avi(frames, codec="mjpeg")
+    info = video.probe_avi(data)
+    # frame 7 alone, without touching the rest
+    px = video.decode_frame(data, info, 7)
+    assert imaging.psnr(frames[7], px) >= 40.0
+
+
+def test_sample_indices_even_spacing():
+    assert video.sample_indices(300, 4).tolist() == [0, 100, 199, 299]
+    assert video.sample_indices(2, 4).tolist() == [0, 1]
+    assert video.sample_indices(1, 4).tolist() == [0]
+    assert video.sample_indices(0, 4).tolist() == []
+
+
+def test_probe_rejects_garbage_and_truncation():
+    frames = _frames(3)
+    data = video.encode_avi(frames, codec="mjpeg")
+    with pytest.raises(ValueError):
+        video.probe_avi(b"nonsense")
+    with pytest.raises(ValueError):
+        video.probe_avi(data[: len(data) // 2])
+    # unsupported codec fourcc in strf
+    bad = bytearray(data)
+    i = bad.find(b"MJPG", bad.find(b"strf"))
+    bad[i:i + 4] = b"H264"
+    with pytest.raises(ValueError, match="unsupported codec"):
+        video.probe_avi(bytes(bad))
+
+
+def test_avi_fuzz_clean_errors():
+    """Mutated containers must either still decode or raise ValueError —
+    never segfault/IndexError/struct.error (same fuzz contract as the
+    JPEG/PNG codecs)."""
+    frames = _frames(3)
+    rng = np.random.default_rng(7)
+    for codec in ("mjpeg", "rgb"):
+        data = bytearray(video.encode_avi(frames, codec=codec))
+        for _ in range(400):
+            mut = bytearray(data)
+            for _ in range(rng.integers(1, 6)):
+                mut[rng.integers(0, len(mut))] = rng.integers(0, 256)
+            try:
+                info = video.probe_avi(bytes(mut))
+                for i in range(len(info["frames"])):
+                    video.decode_frame(bytes(mut), info, i)
+            except (ValueError, NotImplementedError):
+                # NotImplementedError: a mutated MJPEG frame whose markers
+                # select an unsupported JPEG mode — a clean refusal
+                pass
+
+
+def test_sample_frames_spark_end_to_end(spark):
+    """The operator over a mixed batch: MJPEG AVI, RGB AVI, a plain image
+    row (1-frame video), and a corrupt payload under on_error='skip'."""
+    from openpoiservice_spark.operators import images as IM
+
+    frames = _frames(6)
+    mj = video.encode_avi(frames, codec="mjpeg")
+    rg = video.encode_avi(frames, codec="rgb")
+    px, fmt = imaging.synth_pixels("img-a")
+    rows = [
+        ("vid-mj", bytearray(mj), "avi"),
+        ("vid-rgb", bytearray(rg), "avi"),
+        ("img-a", bytearray(imaging.encode_image(px, fmt)), fmt),
+        ("vid-bad", bytearray(b"RIFFxxxxAVI corrupt"), "avi"),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    out = IM.sample_frames(df, n_frames=3, on_error="skip").collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.image_id, []).append(r)
+    assert "vid-bad" not in got
+    assert sorted(r.frame_idx for r in got["vid-mj"]) == [0, 2, 5]
+    assert sorted(r.frame_idx for r in got["vid-rgb"]) == [0, 2, 5]
+    assert [r.frame_idx for r in got["img-a"]] == [0]
+    # decoded frame content survives the trip (PSNR vs the source frame)
+    for r in got["vid-mj"]:
+        dec = imaging.decode_png(bytes(r.frame_bytes))
+        assert imaging.psnr(frames[r.frame_idx], dec) >= 40.0
+    for r in got["vid-rgb"]:
+        dec = imaging.decode_png(bytes(r.frame_bytes))
+        assert np.array_equal(frames[r.frame_idx], dec)
+
+    # codecs that genuinely need external libs still refuse loudly
+    mp4 = spark.createDataFrame([("v", bytearray(b"x"), "mp4")],
+                                "image_id string, bytes binary, fmt string")
+    with pytest.raises(Exception, match="NotImplementedError|no H.264"):
+        IM.sample_frames(mp4, n_frames=2).collect()
