@@ -133,6 +133,16 @@ def lsh_topk(emb: DataFrame, qvec, k: int = 10, planes: np.ndarray | None = None
 
 # --------------------------------------------------------------- IVF tier
 
+#: default probe count, set from the measured recall curve (BENCH/EXPLAIN.md
+#: 'IVF recall at production parameters'): on clustered data — the workload
+#: IVF exists for — a trained C=256 codebook reaches recall@10 >= 0.9 at
+#: nprobe=4 (0.93 measured; 0.99 at 8); asserted in
+#: tests/test_strategies.py::test_ivf_recall_curve_c256.  On structureless
+#: (isotropic) vectors recall ~ the scanned fraction whatever nprobe is —
+#: use brute_topk there, IVF cannot help by construction.
+DEFAULT_NPROBE = 4
+
+
 def ivf_centroids(n_centroids: int = 16, dim: int = 64, seed: int = 21) -> np.ndarray:
     """Deterministic unit-vector codebook.  The correctness gate needs a
     data-independent codebook (the oracle SQL is static); production
@@ -179,7 +189,8 @@ def ivf_assign_col(vec_col: Column, centroids: np.ndarray) -> Column:
 
 
 def ivf_topk(emb: DataFrame, qvec, k: int = 10,
-             centroids: np.ndarray | None = None, nprobe: int = 2) -> DataFrame:
+             centroids: np.ndarray | None = None,
+             nprobe: int = DEFAULT_NPROBE) -> DataFrame:
     """IVF-flat approximate top-k: assign every vector to its nearest
     centroid (one JVM full-scan expression — the table can be written
     partitioned by this id, turning probes into partition pruning), probe
@@ -216,7 +227,8 @@ def write_ivf_table(emb: DataFrame, path: str,
 
 
 def ivf_topk_table(spark, path: str, qvec, k: int = 10,
-                   centroids: np.ndarray | None = None, nprobe: int = 2) -> DataFrame:
+                   centroids: np.ndarray | None = None,
+                   nprobe: int = DEFAULT_NPROBE) -> DataFrame:
     """Approximate top-k over a `write_ivf_table` layout: read only the
     query's top-nprobe centroid partitions (directory pruning, verified in
     tests/test_strategies.py by PartitionFilters), re-rank exactly."""

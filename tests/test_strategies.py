@@ -186,6 +186,60 @@ def test_ivf_trained_codebook_recall(spark):
     assert len(stats) >= 6  # codebook actually spreads the data
 
 
+def test_ivf_recall_curve_c256(spark):
+    """Recall@10 at production parameters (round-3 verdict item 6): trained
+    C=256 codebook on clustered vectors — the workload IVF exists for —
+    must reach recall@10 >= 0.9 at the shipped DEFAULT_NPROBE (numpy
+    measurement over 50 queries, plus one Spark ivf_topk run confirming the
+    distributed path agrees with the numpy pipeline).  The full curve,
+    including the isotropic worst case where recall ~ scanned fraction,
+    is recorded in BENCH/EXPLAIN.md."""
+    from openpoiservice_spark.operators import ann as ANN
+
+    rng = np.random.default_rng(42)
+    centers = rng.normal(size=(50, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    lab = rng.integers(0, 50, 2000)
+    X = centers[lab] + 0.15 * rng.normal(size=(2000, 64))
+    C = ANN.ivf_train(X, n_centroids=256, iters=8, seed=21)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    assign = np.argmax(Xn @ C.T, axis=1)
+
+    qi = rng.integers(0, 2000, 50)
+    qs = X[qi] + 0.05 * rng.normal(size=(50, 64))
+    qs /= np.linalg.norm(qs, axis=1, keepdims=True)
+
+    def recall(nprobe):
+        recs = []
+        for q in qs:
+            cos = (X @ q) / np.linalg.norm(X, axis=1)
+            truth = set(np.argsort(-cos, kind="stable")[:10].tolist())
+            probe = np.argsort(-(C @ q), kind="stable")[:nprobe]
+            cand = np.where(np.isin(assign, probe))[0]
+            cc = cand[np.argsort(-cos[cand], kind="stable")[:10]]
+            recs.append(len(truth & set(cc.tolist())) / 10)
+        return float(np.mean(recs))
+
+    r_default = recall(ANN.DEFAULT_NPROBE)
+    assert r_default >= 0.9, r_default
+    # the curve is monotone in nprobe (more cells probed, never worse)
+    assert recall(8) >= r_default
+    assert recall(16) >= recall(8)
+
+    # the distributed path returns the same candidates as the numpy twin
+    # for one query at the default nprobe
+    emb = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(2000)],
+        "vec_id long, embedding array<double>")
+    q = qs[0]
+    got = {r.vec_id for r in ANN.ivf_topk(emb, q, 10, C).collect()}
+    probe = np.argsort(-(C @ q), kind="stable")[:ANN.DEFAULT_NPROBE]
+    cand = np.where(np.isin(assign, probe))[0]
+    cos = (X @ q) / np.linalg.norm(X, axis=1)
+    want_order = cand[np.lexsort((cand, -np.round(cos[cand], 6)))][:10]
+    assert got == set(int(i) for i in want_order)
+
+
 def test_ivf_production_codebook_c256(spark):
     """Production-size codebook: C=256 must compile in O(1) plan depth
     (transform + array_max + array_position over ONE array literal — the
