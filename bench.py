@@ -117,23 +117,9 @@ def ensure_prepared(spark, sf_dir: str) -> tuple[str, float]:
     return prepared, dt
 
 
-def _timed(fn, repeats: int = 2):
-    """Best-of-N wall time per query (same protocol as the scaling job):
-    a single sample under this VM's 2x hypervisor-steal variance measures
-    the hypervisor, not the plan — round-2 showed a 2x phantom regression
-    and hid a real 10x win in one noisy window."""
-    best, out = float("inf"), None
-    for _ in range(repeats):
-        t0 = time.time()
-        out = fn()
-        best = min(best, time.time() - t0)
-    return out, best
-
-
 def run_queries(spark, prepared: str, sf_dir: str) -> tuple[dict, dict]:
     pois = P.read_prepared(spark, prepared)
     n_rows = pois.count()
-    timings: dict[str, float] = {}
     info: dict[str, float] = {"rows": n_rows}
 
     # steady-state warm (BENCH/BASELINE.md protocol): touch each code path
@@ -174,8 +160,6 @@ def run_queries(spark, prepared: str, sf_dir: str) -> tuple[dict, dict]:
         )
         return TI.tile_histogram(hits, 14).count()
 
-    info["corridor_tile_rows"], timings["corridor_tiles"] = _timed(corridor_tiles)
-
     # bbox query through the engine plan
     bbox_spec = G.bbox_spec(*D.BBOX_Q)
     bcover = C.cover_geometry(bbox_spec, 0.0, _res)
@@ -189,8 +173,6 @@ def run_queries(spark, prepared: str, sf_dir: str) -> tuple[dict, dict]:
             .filter(brefine(F.col("lon"), F.col("lat")))
             .count()
         )
-
-    info["bbox_rows"], timings["bbox"] = _timed(bbox_count)
 
     # radius + category stats (explode + hash agg)
     pt_spec = G.GeomSpec("point", [D.POINT_Q])
@@ -207,8 +189,6 @@ def run_queries(spark, prepared: str, sf_dir: str) -> tuple[dict, dict]:
             .groupBy("category").count().count()
         )
 
-    info["stats_groups"], timings["radius_stats"] = _timed(radius_stats)
-
     # kNN — lineage density stats seed a single-probe radius (engine
     # construction loads these once; excluded from query timing like the
     # reference's ANALYZE stats)
@@ -217,8 +197,6 @@ def run_queries(spark, prepared: str, sf_dir: str) -> tuple[dict, dict]:
     def knn100():
         return K.knn(pois, D.POINT_Q[0], D.POINT_Q[1], 100,
                      pcell_rows=pcell_stats).count()
-
-    _, timings["knn_100"] = _timed(knn100)
 
     # tile pixel decode on the corridor subset (the binary-payload stage).
     # Two-phase payload selection (tiles.filter_payload): the Arrow refine
@@ -241,8 +219,6 @@ def run_queries(spark, prepared: str, sf_dir: str) -> tuple[dict, dict]:
             .groupBy("tx", "ty").agg(F.sum("sum_intensity")).count()
         )
 
-    info["pixel_tiles"], timings["corridor_pixels"] = _timed(corridor_pixels)
-
     # multimodal dedup: perceptual hash + banded hamming pairs over a 2%
     # sample (decode-bound, embarrassingly parallel — the 10^12-row image
     # dedup stage in miniature)
@@ -254,16 +230,74 @@ def run_queries(spark, prepared: str, sf_dir: str) -> tuple[dict, dict]:
         return IM.hamming_pairs(hashed, col="dct_phash", key="image_id",
                                 max_dist=3, max_bucket=10_000).count()
 
-    info["phash_pairs"], timings["image_phash_dedup"] = _timed(image_phash_dedup)
+    # the end-user request path (reference-equivalent surface): PoiEngine
+    # dispatch -> admission -> cover prefilter -> refine -> sort/limit quirk
+    # -> driver GeoJSON assembly.  Engine construction (lineage stats load)
+    # is one-time, excluded like the reference's ANALYZE.  The bbox is sized
+    # just under the reference's 50 km^2 area cap.
+    from openpoiservice_spark.api import PoiEngine
+
+    eng = PoiEngine(spark, prepared)
+    req_payload = {
+        "request": "pois",
+        "geometry": {"bbox": [[D.POINT_Q[0] - 0.075, D.POINT_Q[1] - 0.0220],
+                              [D.POINT_Q[0] + 0.075, D.POINT_Q[1] + 0.0220]]},
+        "limit": 2000,
+    }
+
+    def pois_request():
+        return len(eng.request(req_payload)["features"])
+
+    # batch spatial join: 200 geometries against the full table in one job
+    from openpoiservice_spark import batchjoin as BJ
+
+    bj_items = []
+    rng = np.random.default_rng(31)
+    for gid in range(200):
+        w = 0.05 + 0.45 * float(rng.random())
+        h = 0.03 + 0.25 * float(rng.random())
+        x1 = 7.5 + (6.5 - w) * float(rng.random())
+        y1 = 52.0 + (2.0 - h) * float(rng.random())
+        bj_items.append((gid, G.bbox_spec(x1, y1, x1 + w, y1 + h), 0.0))
+    bj_gdf = BJ.geoms_to_df(spark, bj_items)
+
+    def batch_join_200():
+        return BJ.batch_join_counts(
+            pois.select(F.col("osm_id").alias("poi_id"), "lon", "lat"),
+            bj_gdf, res=12).count()
 
     # training-data ops on documents/embeddings at the same sf
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     docs.count()  # warm the scan before timing the LSH pipeline
-    _, timings["minhash_lsh"] = _timed(lambda: TX.lsh_candidate_pairs(docs).count())
-    _, timings["ann_brute_top10"] = _timed(
-        lambda: ANN.brute_topk(emb, ANN.query_vector(), 10).count()
-    )
+
+    fns = [
+        ("corridor_tiles", corridor_tiles, "corridor_tile_rows"),
+        ("bbox", bbox_count, "bbox_rows"),
+        ("radius_stats", radius_stats, "stats_groups"),
+        ("knn_100", knn100, None),
+        ("corridor_pixels", corridor_pixels, "pixel_tiles"),
+        ("image_phash_dedup", image_phash_dedup, "phash_pairs"),
+        ("pois_request", pois_request, "request_features"),
+        ("batch_join_200", batch_join_200, "batch_join_geoms"),
+        ("minhash_lsh", lambda: TX.lsh_candidate_pairs(docs).count(), None),
+        ("ann_brute_top10",
+         lambda: ANN.brute_topk(emb, ANN.query_vector(), 10).count(), None),
+    ]
+    # TWO interleaved full passes, per-query best across both (round-3
+    # verdict item 8): a single run's timings integrate one VM window of
+    # hypervisor steal; interleaving whole passes gives every query two
+    # windows a few minutes apart instead of two samples in the same one
+    timings: dict[str, float] = {}
+    for p in range(2):
+        for name, fn, info_key in fns:
+            t0 = time.time()
+            out = fn()
+            dt = time.time() - t0
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+            if p == 0 and info_key:
+                info[info_key] = out
     return timings, info
 
 

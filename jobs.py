@@ -89,6 +89,26 @@ def main(argv=None):
     sd.add_argument("--max-dist", type=int, default=3)
     sd.add_argument("--max-bucket", type=int, default=100_000)
 
+    sb = sub.add_parser("batch-join",
+                        help="N query geometries vs the prepared table, one job")
+    sb.add_argument("--prepared", required=True)
+    sb.add_argument("--geoms", required=True,
+                    help="geometry table parquet (geom_id long, gspec string "
+                         "— batchjoin.pack_geom JSON)")
+    sb.add_argument("--out", required=True)
+    sb.add_argument("--res", type=int, default=12, help="cover/join cell res")
+    sb.add_argument("--counts", action="store_true",
+                    help="write per-geometry counts instead of pairs")
+    sb.add_argument("--salt-threshold", type=int, default=0,
+                    help="salt pcells whose lineage row count exceeds this "
+                         "(0 = no salting)")
+
+    sf = sub.add_parser("frames", help="sample video/image frames (AVI real)")
+    sf.add_argument("--images", required=True, help="payload parquet path")
+    sf.add_argument("--out", required=True)
+    sf.add_argument("--n-frames", type=int, default=4)
+    sf.add_argument("--on-error", default="skip", choices=("skip", "fail"))
+
     args = p.parse_args(argv)
 
     from openpoiservice_spark.session import get_spark
@@ -197,6 +217,34 @@ def main(argv=None):
         if args.out:
             pairs.write.mode("overwrite").parquet(args.out)
         print(json.dumps({"pairs": pairs.count()}))
+    elif args.cmd == "batch-join":
+        from pyspark.sql import functions as F
+
+        from openpoiservice_spark import batchjoin, config, prepare
+
+        pts = prepare.read_prepared(spark, args.prepared).select(
+            F.col("osm_id").alias("poi_id"), "lon", "lat")
+        gdf = spark.read.parquet(args.geoms)
+        salt = None
+        if args.salt_threshold > 0:
+            salt = batchjoin.auto_salt_cells(
+                prepare.load_pcell_stats(spark, args.prepared),
+                args.salt_threshold)
+        fn = batchjoin.batch_join_counts if args.counts else batchjoin.batch_spatial_join
+        out = fn(pts, gdf, res=args.res, keep_cols=("poi_id",), salt_cells=salt)
+        out.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({
+            "rows": spark.read.parquet(args.out).count(),
+            "geoms": gdf.count(), "salted_cells": len(salt or {}),
+        }))
+    elif args.cmd == "frames":
+        from openpoiservice_spark.operators import images as IM
+
+        imgs = spark.read.parquet(args.images)
+        frames = IM.sample_frames(imgs, n_frames=args.n_frames,
+                                  on_error=args.on_error)
+        frames.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"frames": spark.read.parquet(args.out).count()}))
     return 0
 
 
