@@ -94,7 +94,7 @@ _AUTO_PLANES = ANN.hyperplanes(
     ANN.auto_planes(_emb_rows("/root/testdata/sf0.01"), _AUTO_TARGET), 64, seed=13)
 
 
-def _batch_bboxes(k: int = 200, seed: int = 31):
+def _batch_bboxes(k: int = 1000, seed: int = 31):
     """Deterministic synthetic bbox layer over the derived lon/lat domain
     (7.5..14 E, 52..54 N) — the N-geometry side of the batch spatial join
     gate.  Full-precision floats; the same values are inlined as literals
@@ -122,8 +122,28 @@ def _batch_circles(k: int = 100, seed: int = 37):
     return out
 
 
+def _batch_polygons(k: int = 50, seed: int = 41):
+    """Deterministic convex CCW polygon layer: vertices on a random ellipse
+    at sorted angles (affine image of a circle => convex; increasing angle
+    => counter-clockwise).  Convexity lets the DuckDB twin express each
+    polygon as a half-plane conjunction (derive.sql_polygon_pred)."""
+    rng = np.random.default_rng(seed)
+    out = []
+    for gid in range(k):
+        cx = 7.9 + 5.7 * float(rng.random())
+        cy = 52.15 + 1.7 * float(rng.random())
+        a = 0.05 + 0.25 * float(rng.random())
+        b = 0.03 + 0.15 * float(rng.random())
+        nv = int(rng.integers(3, 8))
+        angles = np.sort(rng.random(nv)) * 2.0 * math.pi
+        ring = [(cx + a * math.cos(t), cy + b * math.sin(t)) for t in angles]
+        out.append((gid, ring))
+    return out
+
+
 _BATCH_BBOXES = _batch_bboxes()
 _BATCH_CIRCLES = _batch_circles()
+_BATCH_POLYGONS = _batch_polygons()
 
 
 # --------------------------------------------------------------- entry
@@ -474,6 +494,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return BJ.batch_join_counts(view, gdf, res=_GEO_RES,
                                     keep_cols=("poi_id",))
 
+    def pois_batch_polygons(spark, sf):
+        # the per-polygon UNION-twin flavor of the batch join: 50 convex
+        # polygons, exact ray-cast refine vs the DuckDB half-plane
+        # conjunction per geometry
+        view = D.spark_poi_view(spark, sf)
+        items = [(gid, G.GeomSpec("polygon", list(ring) + [ring[0]]), 0.0)
+                 for gid, ring in _BATCH_POLYGONS]
+        gdf = BJ.geoms_to_df(spark, items)
+        return BJ.batch_spatial_join(view, gdf, res=_GEO_RES,
+                                     keep_cols=("poi_id",))
+
     def image_phash_pairs(spark, sf):
         # image near-dup by 64-bit fingerprint: banded hamming LSH + exact
         # popcount verify (operators/images.hamming_pairs).  The fingerprint
@@ -540,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash_capped": image_phash_capped,
         "pois_batch_join": pois_batch_join,
         "pois_batch_counts": pois_batch_counts,
+        "pois_batch_polygons": pois_batch_polygons,
         "ann_lsh_auto_top10": ann_lsh_auto,
         "ann_pairs_auto": ann_pairs_auto,
     }
@@ -783,6 +815,7 @@ def oracle_sql() -> dict[str, str]:
         "image_phash_capped": _sql_phash_pairs(4),
         "pois_batch_join": _sql_batch_join(),
         "pois_batch_counts": _sql_batch_counts(),
+        "pois_batch_polygons": _sql_batch_polygons(),
         "ann_lsh_auto_top10": _sql_ann_lsh(_AUTO_PLANES),
         "ann_pairs_auto": _sql_ann_pairs(_AUTO_PLANES),
     }
@@ -804,6 +837,18 @@ def _sql_batch_join() -> str:
         "SELECT g.geom_id, p.poi_id FROM poi p JOIN g "
         "ON p.lon >= g.x1 AND p.lon <= g.x2 AND p.lat >= g.y1 AND p.lat <= g.y2"
     )
+
+
+def _sql_batch_polygons() -> str:
+    """The per-polygon-predicate UNION twin: one SELECT per convex polygon
+    with its half-plane-conjunction membership test, geom_id attached."""
+    parts = []
+    for gid, ring in _BATCH_POLYGONS:
+        pred = D.sql_polygon_pred("lon", "lat", ring=ring)
+        parts.append(
+            f"SELECT CAST({gid} AS BIGINT) AS geom_id, poi_id FROM poi WHERE {pred}"
+        )
+    return f"{_POI} {' UNION ALL '.join(parts)}"
 
 
 def _sql_batch_counts() -> str:

@@ -248,6 +248,11 @@ def run_queries(spark, prepared: str, sf_dir: str) -> tuple[dict, dict]:
     def pois_request():
         return len(eng.request(req_payload)["features"])
 
+    # one warm request: the service tier is a long-lived process (the
+    # reference is a Flask app), so steady-state latency is the honest
+    # number — the first call pays one-time codegen/UDF-worker setup
+    pois_request()
+
     # batch spatial join: 200 geometries against the full table in one job
     from openpoiservice_spark import batchjoin as BJ
 

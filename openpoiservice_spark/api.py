@@ -30,7 +30,8 @@ from pyspark.sql import functions as F
 
 from . import cells, config, geo, prepare, taxonomy
 from .captions import truncate6
-from .functions import cell_parent_expr, make_distance_udf, make_refine_udf
+from .functions import (cell_parent_expr, cell_parent_sql, isin_expr,
+                        make_distance_udf, make_refine_udf)
 
 
 class InvalidUsage(Exception):
@@ -252,9 +253,14 @@ class PoiEngine:
             F.col("cell") if res == cells.DEFAULT_RES
             else cell_parent_expr(F.col("cell"), cells.DEFAULT_RES, res)
         )
-        df = df.filter(F.col("pcell").isin(pcover))
+        # IN lists as single parsed expressions: Column.isin pays one py4j
+        # round-trip PER literal (~0.3 s of driver latency on a 400-cell
+        # cover — pure request-path overhead at the service tier)
+        df = df.filter(isin_expr("pcell", pcover))
         if cover.size <= config.ISIN_COVER_THRESHOLD:
-            return df.filter(cell_col.isin(cover.tolist()))
+            cell_sql = ("cell" if res == cells.DEFAULT_RES
+                        else cell_parent_sql("cell", cells.DEFAULT_RES, res))
+            return df.filter(isin_expr(cell_sql, cover.tolist()))
         cover_df = self.spark.createDataFrame([(int(c),) for c in cover], "qcell long")
         joined = df.withColumn("qcell", cell_col)
         if cover.size <= config.SHUFFLE_COVER_THRESHOLD:

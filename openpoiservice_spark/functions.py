@@ -36,6 +36,26 @@ def cell_expr(lon: Column, lat: Column, res: int) -> Column:
     )
 
 
+def isin_expr(col_sql: str, values) -> Column:
+    """`col IN (...)` as ONE parsed SQL expression.  Column.isin(values)
+    costs one py4j round-trip per literal (~0.8 ms each — a 400-cell cover
+    spends ~0.3 s of driver latency just building the predicate); a single
+    F.expr string is one round-trip regardless of list size.  Values must be
+    ints (cell ids)."""
+    vals = ",".join(str(int(v)) for v in values)
+    return F.expr(f"{col_sql} IN ({vals})")
+
+
+def cell_parent_sql(col_sql: str, res_from: int, res_to: int) -> str:
+    """cell_parent_expr as a SQL string (for isin_expr composition)."""
+    shift = res_from - res_to
+    m = _cells._XY_MASK
+    return (f"(CAST({res_to} AS BIGINT) * {1 << _cells._RES_SHIFT} "
+            f"+ shiftright(shiftright({col_sql}, {_cells._X_SHIFT}) & {m}, {shift}) "
+            f"* {1 << _cells._X_SHIFT} "
+            f"+ shiftright({col_sql} & {m}, {shift}))")
+
+
 def cell_parent_expr(cell: Column, res_from: int, res_to: int) -> Column:
     """Coarsen a cell id column — pure int64 bit math (no doubles: cell ids
     exceed the 53-bit double mantissa, so any double round-trip would corrupt
