@@ -202,9 +202,19 @@ def batch_spatial_join(points: DataFrame, geoms_df: DataFrame, res: int,
 
 
 def batch_join_counts(points: DataFrame, geoms_df: DataFrame, res: int,
-                      **kw) -> DataFrame:
+                      include_empty: bool = False, **kw) -> DataFrame:
     """Per-geometry match counts — the batch analogue of the stats request
     (one aggregate over the join; partial aggregation keeps the shuffle to
-    one row per (partition, geom_id))."""
+    one row per (partition, geom_id)).  `include_empty=True` emits a 0-count
+    row for geometries matching nothing (a broadcast left join against the
+    small geometry-id side — the report shape a region-coverage audit
+    needs)."""
     pairs = batch_spatial_join(points, geoms_df, res, **kw)
-    return pairs.groupBy("geom_id").agg(F.count("*").alias("n_pois"))
+    counts = pairs.groupBy("geom_id").agg(F.count("*").alias("n_pois"))
+    if not include_empty:
+        return counts
+    return (
+        geoms_df.select("geom_id")
+        .join(F.broadcast(counts), "geom_id", "left")
+        .select("geom_id", F.coalesce(F.col("n_pois"), F.lit(0)).alias("n_pois"))
+    )

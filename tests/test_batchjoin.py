@@ -75,6 +75,20 @@ def test_batch_join_counts(spark, view, geom_items):
     assert counts == brute_counts
 
 
+def test_batch_join_counts_include_empty(spark, view, geom_items):
+    """A geometry matching nothing still gets a 0-count row when asked."""
+    items = geom_items + [(99, geo.bbox_spec(0.0, 0.0, 0.1, 0.1), 0.0)]
+    gdf = BJ.geoms_to_df(spark, items)
+    counts = {r.geom_id: r.n_pois for r in
+              BJ.batch_join_counts(view, gdf, res=12,
+                                   include_empty=True).collect()}
+    assert counts[99] == 0
+    assert set(counts) == {g for g, _, _ in items}
+    inner = {r.geom_id for r in
+             BJ.batch_join_counts(view, gdf, res=12).collect()}
+    assert 99 not in inner
+
+
 def test_batch_join_plan_is_shuffled_equi_join(spark, view, geom_items):
     """The scale contract: an EQUI-join on the cell key — never a cartesian
     product or nested loop, whatever N_geoms is.  With auto-broadcast off
