@@ -30,7 +30,8 @@ from openpoiservice_spark import geo as G
 from openpoiservice_spark import knn as K
 from openpoiservice_spark import tiles as TI
 from openpoiservice_spark import batchjoin as BJ
-from openpoiservice_spark.functions import cell_expr, cell_parent_expr, make_refine_udf
+from openpoiservice_spark.functions import (cell_expr, cell_parent_expr,
+                                            isin_expr, make_refine_udf)
 from openpoiservice_spark.operators import ann as ANN
 from openpoiservice_spark.operators import text as TX
 
@@ -50,11 +51,11 @@ def _poi_with_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _geo_query(spark: SparkSession, sf_dir: str, spec: G.GeomSpec, buffer_m: float) -> DataFrame:
     """The engine's prefilter+refine path over the derived view: cell cover
-    (equi-IN, pushed down) then exact pandas-UDF refinement."""
+    (equi-IN as ONE parsed expression — Column.isin costs a py4j round-trip
+    per literal) then exact pandas-UDF refinement."""
     view = D.spark_poi_view(spark, sf_dir)
     cover = C.cover_geometry(spec, buffer_m, _GEO_RES)
-    qcell = cell_expr(F.col("lon"), F.col("lat"), _GEO_RES)
-    df = view.filter(qcell.isin(cover.tolist()))
+    df = view.filter(isin_expr(D.sql_cell("lon", "lat", _GEO_RES), cover.tolist()))
     refine = make_refine_udf(spec, buffer_m, None)
     return df.filter(refine(F.col("lon"), F.col("lat"))).select("poi_id", "lon", "lat")
 
@@ -154,9 +155,10 @@ def entry(spark: SparkSession) -> DataFrame:
     spec = G.GeomSpec("linestring", D.LINE_Q)
     view = D.spark_poi_view(spark, sf_dir)
     cover = C.cover_geometry(spec, D.CORRIDOR_M, _GEO_RES)
-    qcell = cell_expr(F.col("lon"), F.col("lat"), _GEO_RES)
     refine = make_refine_udf(spec, D.CORRIDOR_M, None)
-    hits = view.filter(qcell.isin(cover.tolist())).filter(refine(F.col("lon"), F.col("lat")))
+    hits = view.filter(
+        isin_expr(D.sql_cell("lon", "lat", _GEO_RES), cover.tolist())
+    ).filter(refine(F.col("lon"), F.col("lat")))
     return TI.tile_histogram(hits.select("poi_id", "lon", "lat", "w", "h"), 14)
 
 
@@ -186,10 +188,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         bbox = G.bbox_spec(*D.BBOX_Q)
         view = D.spark_poi_view(spark, sf)
         cover = C.cover_geometry(spec, 0.0, _GEO_RES)
-        qcell = cell_expr(F.col("lon"), F.col("lat"), _GEO_RES)
         refine = make_refine_udf(spec, 0.0, bbox)
         return (
-            view.filter(qcell.isin(cover.tolist()))
+            view.filter(isin_expr(D.sql_cell("lon", "lat", _GEO_RES), cover.tolist()))
             .filter(refine(F.col("lon"), F.col("lat")))
             .select("poi_id", "lon", "lat")
         )

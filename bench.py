@@ -35,7 +35,8 @@ from openpoiservice_spark import geo as G  # noqa: E402
 from openpoiservice_spark import knn as K  # noqa: E402
 from openpoiservice_spark import prepare as P  # noqa: E402
 from openpoiservice_spark import tiles as TI  # noqa: E402
-from openpoiservice_spark.functions import make_refine_udf  # noqa: E402
+from openpoiservice_spark.functions import (cell_parent_sql, isin_expr,  # noqa: E402
+                                             make_refine_udf)
 from openpoiservice_spark.operators import ann as ANN  # noqa: E402
 from openpoiservice_spark.operators import text as TX  # noqa: E402
 from openpoiservice_spark.session import get_spark  # noqa: E402
@@ -136,9 +137,10 @@ def run_queries(spark, prepared: str, sf_dir: str) -> tuple[dict, dict]:
     line_spec = G.GeomSpec("linestring", D.LINE_Q)
     cover = C.cover_geometry(line_spec, D.CORRIDOR_M, _res := 12)
     pcover = np.unique(C.cell_parent(cover, C.PARTITION_RES)).tolist()
-    from openpoiservice_spark.functions import cell_parent_expr
-
-    qcell = cell_parent_expr(F.col("cell"), C.DEFAULT_RES, _res)
+    # IN lists as ONE parsed SQL expression: Column.isin pays a py4j
+    # round-trip per literal (~0.3 s on the 387-cell corridor cover) —
+    # driver latency inside every timed query body
+    qcell_sql = cell_parent_sql("cell", C.DEFAULT_RES, _res)
     refine = make_refine_udf(line_spec, D.CORRIDOR_M, None)
     # pushable lon/lat range implied by the buffered corridor (parquet
     # row-group pruning — the derived-cell IN predicate cannot push)
@@ -152,9 +154,9 @@ def run_queries(spark, prepared: str, sf_dir: str) -> tuple[dict, dict]:
     # assignment + histogram rollup
     def corridor_tiles():
         hits = (
-            pois.filter(F.col("pcell").isin(pcover))
+            pois.filter(isin_expr("pcell", pcover))
             .filter(corridor_range)
-            .filter(qcell.isin(cover.tolist()))
+            .filter(isin_expr(qcell_sql, cover.tolist()))
             .filter(refine(F.col("lon"), F.col("lat")))
             .select("osm_id", "lon", "lat", "w", "h")
         )
@@ -167,9 +169,9 @@ def run_queries(spark, prepared: str, sf_dir: str) -> tuple[dict, dict]:
 
     def bbox_count():
         return (
-            pois.filter(F.col("pcell").isin(
-                np.unique(C.cell_parent(bcover, C.PARTITION_RES)).tolist()))
-            .filter(qcell.isin(bcover.tolist()))
+            pois.filter(isin_expr(
+                "pcell", np.unique(C.cell_parent(bcover, C.PARTITION_RES)).tolist()))
+            .filter(isin_expr(qcell_sql, bcover.tolist()))
             .filter(brefine(F.col("lon"), F.col("lat")))
             .count()
         )
@@ -181,9 +183,9 @@ def run_queries(spark, prepared: str, sf_dir: str) -> tuple[dict, dict]:
 
     def radius_stats():
         return (
-            pois.filter(F.col("pcell").isin(
-                np.unique(C.cell_parent(rcover, C.PARTITION_RES)).tolist()))
-            .filter(qcell.isin(rcover.tolist()))
+            pois.filter(isin_expr(
+                "pcell", np.unique(C.cell_parent(rcover, C.PARTITION_RES)).tolist()))
+            .filter(isin_expr(qcell_sql, rcover.tolist()))
             .filter(rrefine(F.col("lon"), F.col("lat")))
             .select(F.explode("category_ids").alias("category"))
             .groupBy("category").count().count()
@@ -206,13 +208,13 @@ def run_queries(spark, prepared: str, sf_dir: str) -> tuple[dict, dict]:
         hits = TI.filter_payload(
             pois,
             meta_filter=lambda d: (
-                d.filter(F.col("pcell").isin(pcover))
+                d.filter(isin_expr("pcell", pcover))
                 .filter(corridor_range)
-                .filter(qcell.isin(cover.tolist()))
+                .filter(isin_expr(qcell_sql, cover.tolist()))
                 .filter(refine(F.col("lon"), F.col("lat")))
             ),
             payload_prefilter=lambda d: d.filter(
-                F.col("pcell").isin(pcover)).filter(corridor_range),
+                isin_expr("pcell", pcover)).filter(corridor_range),
         )
         return (
             TI.tile_pixel_stats(hits, 14)
