@@ -136,7 +136,14 @@ def sql_poi_cte() -> str:
 
 
 def spark_poi_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same view on the Spark side — built from the same snippets."""
+    """Same view on the Spark side — built from the same snippets.
+
+    `grp` derives from the already-computed `cat` COLUMN rather than the
+    textual snip_grp(snip_cat(pk)) nesting the oracle CTE uses: inlining the
+    40-way cat CASE into every grp branch generated a > 64 KB Java method
+    and silently dropped the whole gate projection out of whole-stage
+    codegen (janino 'Code grows beyond 64 KB' fallback).  Same values —
+    integer CASE on an integer column — so the DuckDB twin is unaffected."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     pk = snip_pk()
     return li.select(
@@ -144,9 +151,10 @@ def spark_poi_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(snip_lon(pk)).alias("lon"),
         F.expr(snip_lat(pk)).alias("lat"),
         F.expr(snip_cat(pk)).alias("cat"),
-        F.expr(snip_grp(snip_cat(pk))).alias("grp"),
         F.expr(snip_w(pk)).alias("w"),
         F.expr(snip_h(pk)).alias("h"),
+    ).withColumn("grp", F.expr(snip_grp("cat"))).select(
+        "poi_id", "lon", "lat", "cat", "grp", "w", "h"
     )
 
 
