@@ -142,9 +142,28 @@ def _batch_polygons(k: int = 50, seed: int = 41):
     return out
 
 
+def _batch_corridors(k: int = 30, seed: int = 43):
+    """Deterministic 3-vertex polyline + buffer layer (batch corridor
+    queries — the linestring flavor of the batch join)."""
+    rng = np.random.default_rng(seed)
+    out = []
+    for gid in range(k):
+        x = 7.8 + 5.4 * float(rng.random())
+        y = 52.2 + 1.5 * float(rng.random())
+        line = [(x, y)]
+        for _ in range(2):
+            x += 0.5 * float(rng.random()) - 0.1
+            y += 0.3 * float(rng.random()) - 0.15
+            line.append((x, y))
+        buf = 4_000.0 + 8_000.0 * float(rng.random())
+        out.append((gid, line, buf))
+    return out
+
+
 _BATCH_BBOXES = _batch_bboxes()
 _BATCH_CIRCLES = _batch_circles()
 _BATCH_POLYGONS = _batch_polygons()
+_BATCH_CORRIDORS = _batch_corridors()
 
 
 # --------------------------------------------------------------- entry
@@ -506,6 +525,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return BJ.batch_spatial_join(view, gdf, res=_GEO_RES,
                                      keep_cols=("poi_id",))
 
+    def pois_batch_corridors(spark, sf):
+        # batch corridor flavor: 30 buffered polylines in one job (the
+        # dist-to-segments refine under the oracle's per-line corridor pred)
+        view = D.spark_poi_view(spark, sf)
+        items = [(gid, G.GeomSpec("linestring", line), buf)
+                 for gid, line, buf in _BATCH_CORRIDORS]
+        gdf = BJ.geoms_to_df(spark, items)
+        return BJ.batch_spatial_join(view, gdf, res=_GEO_RES,
+                                     keep_cols=("poi_id",))
+
     def image_phash_pairs(spark, sf):
         # image near-dup by 64-bit fingerprint: banded hamming LSH + exact
         # popcount verify (operators/images.hamming_pairs).  The fingerprint
@@ -573,6 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pois_batch_join": pois_batch_join,
         "pois_batch_counts": pois_batch_counts,
         "pois_batch_polygons": pois_batch_polygons,
+        "pois_batch_corridors": pois_batch_corridors,
         "ann_lsh_auto_top10": ann_lsh_auto,
         "ann_pairs_auto": ann_pairs_auto,
     }
@@ -817,6 +847,7 @@ def oracle_sql() -> dict[str, str]:
         "pois_batch_join": _sql_batch_join(),
         "pois_batch_counts": _sql_batch_counts(),
         "pois_batch_polygons": _sql_batch_polygons(),
+        "pois_batch_corridors": _sql_batch_corridors(),
         "ann_lsh_auto_top10": _sql_ann_lsh(_AUTO_PLANES),
         "ann_pairs_auto": _sql_ann_pairs(_AUTO_PLANES),
     }
@@ -846,6 +877,18 @@ def _sql_batch_polygons() -> str:
     parts = []
     for gid, ring in _BATCH_POLYGONS:
         pred = D.sql_polygon_pred("lon", "lat", ring=ring)
+        parts.append(
+            f"SELECT CAST({gid} AS BIGINT) AS geom_id, poi_id FROM poi WHERE {pred}"
+        )
+    return f"{_POI} {' UNION ALL '.join(parts)}"
+
+
+def _sql_batch_corridors() -> str:
+    """Per-corridor UNION twin: each polyline's buffered membership as the
+    shared derive.sql_corridor_pred snippet with geom_id attached."""
+    parts = []
+    for gid, line, buf in _BATCH_CORRIDORS:
+        pred = D.sql_corridor_pred("lon", "lat", line=line, buffer_m=buf)
         parts.append(
             f"SELECT CAST({gid} AS BIGINT) AS geom_id, poi_id FROM poi WHERE {pred}"
         )
