@@ -167,3 +167,40 @@ def test_tile_axis_clamp_invariants(g0, extent, z):
     if nB[0] > 0:
         assert 0 <= tA[0] + 1 < n
     assert off[0] >= 0
+
+
+@given(
+    cx=st.floats(-170.0, 170.0, allow_nan=False),
+    cy=st.floats(-65.0, 65.0, allow_nan=False),
+    a=st.floats(0.02, 0.4, allow_nan=False),
+    b=st.floats(0.02, 0.25, allow_nan=False),
+    buf=st.floats(0.0, 20_000.0, allow_nan=False),
+    res=st.integers(8, 14),
+    seed=st.integers(0, 10_000),
+)
+@settings(max_examples=120, deadline=None)
+def test_cover_geometry_superset_property(cx, cy, a, b, buf, res, seed):
+    """Batch-join soundness foundation: any point the exact refine accepts
+    (within_m(buf)) must map to a cell in cover_geometry's cover — over
+    random convex polygons, buffers, and resolutions in the service's
+    operating envelope.  (The cover may over-include — the refine handles
+    that; it must never under-include.)"""
+    rng = np.random.default_rng(seed)
+    angles = np.sort(rng.random(5)) * 2.0 * np.pi
+    ring = [(cx + a * np.cos(t), cy + b * np.sin(t)) for t in angles]
+    spec = geo.GeomSpec("polygon", list(ring) + [ring[0]])
+    cover = set(cells.cover_geometry(spec, buf, res).tolist())
+    assert cover, "cover must not be empty for a non-degenerate polygon"
+    # sample points around the geometry's buffered bounds
+    mnx, mny, mxx, mxy = spec.buffered_bounds(buf)
+    px = rng.uniform(mnx - 0.05, mxx + 0.05, 300)
+    py = rng.uniform(max(mny - 0.05, -89.9), min(mxy + 0.05, 89.9), 300)
+    px_wrapped = ((px + 180.0) % 360.0) - 180.0
+    inside = spec.within_m(px, py, buf)
+    cells_of = cells.cell_of(px_wrapped, py, res)
+    missed = [
+        (float(px[i]), float(py[i]))
+        for i in range(len(px))
+        if inside[i] and int(cells_of[i]) not in cover
+    ]
+    assert not missed, missed[:3]
