@@ -54,6 +54,9 @@ def main(argv=None):
     ss.add_argument("--out", required=True)
     ss.add_argument("--checkpoint", required=True)
     ss.add_argument("--gap", type=int, default=1800)
+    ss.add_argument("--mode", default="append", choices=("append", "update"),
+                    help="append = closed sessions only; update = retraction "
+                         "stream (open/closed/retracted rows, upsert sink)")
 
     st = sub.add_parser("tiles", help="tile histogram over the prepared table")
     st.add_argument("--prepared", required=True)
@@ -149,11 +152,30 @@ def main(argv=None):
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
         ])
+        from pyspark.sql import functions as F
+
         src = spark.readStream.schema(schema).parquet(args.events_dir)
-        q = (streaming.stream_sessionize(src, gap_s=args.gap)
-             .writeStream.format("parquet").option("path", args.out)
-             .option("checkpointLocation", args.checkpoint)
-             .trigger(availableNow=True).start())
+        if args.mode == "update":
+            # the file sink is append-only, so the update stream lands as a
+            # CHANGELOG (one row per open/closed/retracted emission, stamped
+            # with its batch id) — a downstream MERGE keyed by
+            # (user_id, session_start) materializes the current sessions
+            sessions = streaming.stream_sessionize_update(src, gap_s=args.gap)
+            out_path = args.out
+
+            def _sink(bdf, bid):
+                (bdf.withColumn("batch_id", F.lit(bid))
+                 .write.mode("append").parquet(out_path))
+
+            q = (sessions.writeStream.foreachBatch(_sink).outputMode("update")
+                 .option("checkpointLocation", args.checkpoint)
+                 .trigger(availableNow=True).start())
+        else:
+            sessions = streaming.stream_sessionize(src, gap_s=args.gap)
+            q = (sessions.writeStream.format("parquet")
+                 .option("path", args.out)
+                 .option("checkpointLocation", args.checkpoint)
+                 .trigger(availableNow=True).start())
         q.awaitTermination()
         print(json.dumps({"status": "drained", "out": args.out}))
     elif args.cmd == "tiles":

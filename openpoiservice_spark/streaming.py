@@ -149,6 +149,11 @@ def stream_sessionize(events, gap_s: int = 1800, watermark: str = "1 hour"):
             ts = []
             for pdf in pdf_iter:
                 ts.extend(pdf["t"].tolist())
+            # Spark does NOT filter late rows for applyInPandasWithState
+            # (the watermark only drives timeouts) — enforce session-window
+            # semantics ourselves: events below the watermark are dropped
+            wm_s = state.getCurrentWatermarkMs() // 1000
+            ts = [t for t in ts if t >= wm_s]
             ts.sort()
             start, last, n = state.get if state.exists else (None, None, 0)
             for t in ts:
@@ -169,9 +174,12 @@ def stream_sessionize(events, gap_s: int = 1800, watermark: str = "1 hour"):
                     # late t must never regress session_end / the timeout
                     # (merge against state, don't overwrite)
                     start, last, n = min(start, t), max(last, t), n + 1
-            state.update((start, last, n))
-            # close the open session when the user goes silent past the gap
-            state.setTimeoutTimestamp((last + gap_s) * 1000)
+            if last is not None:  # every event filtered + no prior state
+                state.update((start, last, n))
+                # close the open session when the user goes silent past the
+                # gap (armed above the watermark — Spark rejects at/below)
+                state.setTimeoutTimestamp(
+                    max((last + gap_s) * 1000, wm_s * 1000 + 1))
         yield pd.DataFrame(
             closed, columns=["user_id", "session_start", "session_end", "n_events"]
         )
@@ -183,6 +191,135 @@ def stream_sessionize(events, gap_s: int = 1800, watermark: str = "1 hour"):
         .groupBy("user_id")
         .applyInPandasWithState(
             fn, SESSION_SCHEMA, _SESSION_STATE_SCHEMA, "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+SESSION_UPDATE_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("session_start", T.LongType()),
+    T.StructField("session_end", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("status", T.StringType()),  # open | closed | retracted
+])
+
+_SESSION_LIST_STATE_SCHEMA = T.StructType([
+    T.StructField("starts", T.ArrayType(T.LongType())),
+    T.StructField("lasts", T.ArrayType(T.LongType())),
+    T.StructField("ns", T.ArrayType(T.LongType())),
+])
+
+
+def stream_sessionize_update(events, gap_s: int = 1800, watermark: str = "1 hour"):
+    """Sessionization with RETRACTION — the update-mode alternative to
+    `stream_sessionize` (round-3 verdict item 5 offered either: assert the
+    append-mode divergence, or retract; this operator is the retract path).
+
+    State per user: the FULL list of sessions still inside the watermark
+    horizon (not just the open one).  Each batch, new events drop in as
+    1-event intervals and the list re-fuses (sort by start; adjacent
+    intervals with gap <= gap_s merge) — order-independent, so a late event
+    lands in whatever session it belongs to, including an already-emitted
+    one, and can even BRIDGE two previously-separate sessions.
+
+    Emission contract (update semantics — downstream upserts rows keyed by
+    (user_id, session_start), deleting on 'retracted'):
+      * every session changed by this batch re-emits with status 'open';
+      * a session whose horizon passed (last + gap < the CURRENT GLOBAL
+        watermark — no event that could extend it can ever arrive) or whose
+        user timed out emits 'closed' and leaves state;
+      * a session consumed by a fusion (its start no longer exists) emits
+        'retracted' so the stale row disappears downstream.
+
+    The append-mode operator stays the right choice for append-only sinks;
+    this one needs an upsert sink (Delta/Iceberg MERGE, memory table, kv).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fuse(sessions: list[tuple[int, int, int]]) -> list[tuple[int, int, int]]:
+        sessions = sorted(sessions)
+        out: list[list[int]] = []
+        for s, e, n in sessions:
+            if out and s - out[-1][1] <= gap_s:
+                out[-1][1] = max(out[-1][1], e)
+                out[-1][2] += n
+            else:
+                out.append([s, e, n])
+        return [tuple(x) for x in out]
+
+    def fn(key, pdf_iter, state: GroupState):
+        user_id = key[0]
+        rows: list[tuple[int, int, int, int, str]] = []
+        if state.hasTimedOut:
+            starts, lasts, ns = state.get
+            for s, e, n in zip(starts, lasts, ns):
+                rows.append((user_id, int(s), int(e), int(n), "closed"))
+            state.remove()
+        else:
+            ts: list[int] = []
+            for pdf in pdf_iter:
+                ts.extend(int(t) for t in pdf["t"].tolist())
+            # Spark does not filter late rows for applyInPandasWithState —
+            # drop below-watermark events explicitly (session-window
+            # semantics; without this a straggler would resurrect a session
+            # the horizon already closed)
+            ts = [t for t in ts if t * 1000 >= state.getCurrentWatermarkMs()]
+            if state.exists:
+                starts, lasts, ns = state.get
+                old = [(int(s), int(e), int(n))
+                       for s, e, n in zip(starts, lasts, ns)]
+            else:
+                old = []
+            fused = fuse(old + [(t, t, 1) for t in ts])
+            # the GLOBAL watermark is the exact horizon: Spark has already
+            # dropped every event below it, so a session whose extension
+            # window (last + gap) is under it can never change again
+            wm_ms = state.getCurrentWatermarkMs()
+            horizon = wm_ms // 1000
+            keep, closed = [], []
+            for s, e, n in fused:
+                (closed if e + gap_s < horizon else keep).append((s, e, n))
+            old_by_start = {s: (s, e, n) for s, e, n in old}
+            new_starts = {s for s, _, _ in fused}
+            for s in old_by_start:
+                if s not in new_starts:  # consumed by a fusion
+                    rows.append((user_id, s, old_by_start[s][1],
+                                 old_by_start[s][2], "retracted"))
+            for s, e, n in closed:
+                rows.append((user_id, s, e, n, "closed"))
+            for s, e, n in keep:
+                if old_by_start.get(s) != (s, e, n):  # changed this batch
+                    rows.append((user_id, s, e, n, "open"))
+            if keep:
+                state.update((
+                    [s for s, _, _ in keep],
+                    [e for _, e, _ in keep],
+                    [n for _, _, n in keep],
+                ))
+                # arm for ALL sessions expired (max) — when it fires, every
+                # retained session is past its horizon, so close-all is
+                # exact; a still-active user's older sessions close earlier
+                # via the inline horizon check as its events arrive.
+                # Clamped above the current watermark (Spark rejects arming
+                # at/below it).
+                state.setTimeoutTimestamp(max(
+                    (max(e for _, e, _ in keep) + gap_s) * 1000, wm_ms + 1))
+            else:
+                state.remove()
+        yield pd.DataFrame(
+            rows, columns=["user_id", "session_start", "session_end",
+                           "n_events", "status"])
+
+    return (
+        events.withWatermark("ts", watermark)
+        .selectExpr("user_id", "ts",
+                    "CAST(unix_seconds(CAST(ts AS TIMESTAMP)) AS LONG) AS t")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, SESSION_UPDATE_SCHEMA, _SESSION_LIST_STATE_SCHEMA, "update",
             GroupStateTimeout.EventTimeTimeout,
         )
     )

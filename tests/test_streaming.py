@@ -158,12 +158,16 @@ def test_stream_sessionize_stateful(spark, tmp_path):
         df["ts"] = pd.to_datetime(df.pop("t"), unit="s", utc=True).astype("datetime64[us, UTC]")
         _write_chunk(df, os.path.join(raw_dir, name))
 
-    # user 1: session A (1000..1400, 3 events) closed by an 8600 s gap;
+    # user 1: session A (1000..1200) closed by the 10000 gap; the batch-1
+    #   straggler 1400 is BELOW the watermark (c0 max 5600 - 1 h = 2000) and
+    #   is dropped (session-window semantics — Spark does not filter late
+    #   rows for applyInPandasWithState, the operator does); the final
+    #   session (10000..10100) stays open in state
     # user 2: closed by EVENT-TIME TIMEOUT (watermark 10100-3600=6500 passes
-    # 2500+1800); user 1's final session (10000..10100) stays open in state
+    #   2500+1800)
     # user 3: batch 0 opens (5000..5600); batch 1 delivers a LATE event 5300
-    # (within watermark, inside the open session) — it must merge without
-    # regressing session_end, then 9000 closes (5000, 5600, 3) via the gap
+    #   (within watermark, inside the open session) — it must merge without
+    #   regressing session_end, then 9000 closes (5000, 5600, 3) via the gap
     chunk([(1, 1000), (1, 1200), (2, 2000), (3, 5000), (3, 5600)], "c0.parquet")
     chunk([(1, 1400), (1, 10000), (1, 10100), (2, 2500), (3, 5300), (3, 9000)],
           "c1.parquet")
@@ -182,7 +186,7 @@ def test_stream_sessionize_stateful(spark, tmp_path):
 
     rows = {(r.user_id, r.session_start, r.session_end, r.n_events)
             for r in spark.sql("SELECT * FROM sess").collect()}
-    assert rows == {(1, 1000, 1400, 3), (2, 2000, 2500, 2), (3, 5000, 5600, 3)}
+    assert rows == {(1, 1000, 1200, 2), (2, 2000, 2500, 2), (3, 5000, 5600, 3)}
 
 
 def test_stream_sessionize_late_arrivals_divergence(spark, tmp_path):
@@ -248,6 +252,75 @@ def test_stream_sessionize_late_arrivals_divergence(spark, tmp_path):
     sessions.append(tuple(cur))
     assert sessions == [(15000, 17000, 3), (20000, 20000, 1)]
     assert (7, 15000, 17000, 3) not in rows  # the divergence, explicitly
+
+
+def test_stream_sessionize_update_retracts(spark, tmp_path):
+    """Update-mode sessionization (the retraction path of round-3 verdict
+    item 5): a late event MERGES into an already-emitted session and the
+    corrected row re-emits under the same (user_id, session_start) key;
+    bridging events fuse two sessions, retracting the consumed one; horizon
+    and timeout close sessions exactly once."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    raw_dir = str(tmp_path / "events")
+    os.makedirs(raw_dir)
+
+    def chunk(rows, name):
+        df = pd.DataFrame(rows, columns=["user_id", "t"])
+        df["ts"] = pd.to_datetime(df.pop("t"), unit="s", utc=True).astype("datetime64[us, UTC]")
+        _write_chunk(df, os.path.join(raw_dir, name))
+
+    # watermark delay 2 h (7200 s).  Batch 0 max event = 21500 -> watermark
+    # for batch 1 is 14300.
+    chunk([(7, 15000), (7, 15500), (7, 20000),
+           (9, 18000), (9, 18200), (9, 21500)], "c0.parquet")
+    # u7 17000: late, merges into the already-emitted (15000,15500) session;
+    # u8 14000: below the 14300 watermark -> dropped entirely;
+    # u9 19900: BRIDGES (18000,18200) and (21500) into one session
+    chunk([(7, 17000), (8, 14000), (9, 19900)], "c1.parquet")
+    # raises the watermark to 22800 for the next batch
+    chunk([(7, 30000)], "c2.parquet")
+    # wm during this batch = 22800 -> u7's first two sessions close inline;
+    # final wm 42800 -> the post-drain timeout batch closes u9's session
+    chunk([(7, 50000)], "c3.parquet")
+
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", "1").parquet(raw_dir))
+    q = (streaming.stream_sessionize_update(src, gap_s=1800, watermark="2 hours")
+         .writeStream.format("memory").queryName("sess_upd")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "cp"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.status)
+        for r in spark.sql("SELECT * FROM sess_upd").collect()
+    )
+    want = sorted([
+        # batch 0
+        (7, 15000, 15500, 2, "open"), (7, 20000, 20000, 1, "open"),
+        (9, 18000, 18200, 2, "open"), (9, 21500, 21500, 1, "open"),
+        # batch 1: the late-merge correction (same start key, new end/count)
+        (7, 15000, 17000, 3, "open"),
+        # batch 1: bridge — consumed start retracted, fused row emitted
+        (9, 21500, 21500, 1, "retracted"), (9, 18000, 21500, 4, "open"),
+        # batch 2
+        (7, 30000, 30000, 1, "open"),
+        # batch 3: watermark 22800 closes u7's corrected + second sessions
+        (7, 15000, 17000, 3, "closed"), (7, 20000, 20000, 1, "closed"),
+        (7, 50000, 50000, 1, "open"),
+        # post-drain timeout batch: u9's fused session closes
+        (9, 18000, 21500, 4, "closed"),
+    ])
+    assert got == want
+    # u8's beyond-watermark event produced nothing
+    assert not [r for r in got if r[0] == 8]
 
 
 def test_pcell_stats_sum_stream_deltas(spark, tmp_path):
