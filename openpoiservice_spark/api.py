@@ -261,7 +261,13 @@ class PoiEngine:
             cell_sql = ("cell" if res == cells.DEFAULT_RES
                         else cell_parent_sql("cell", cells.DEFAULT_RES, res))
             return df.filter(isin_expr(cell_sql, cover.tolist()))
-        cover_df = self.spark.createDataFrame([(int(c),) for c in cover], "qcell long")
+        # pandas -> Arrow fast path: a 200k-cell cover as a list of tuples
+        # costs seconds of driver-side pickling; a numpy-backed frame ships
+        # as one Arrow batch
+        import pandas as _pd
+
+        cover_df = self.spark.createDataFrame(
+            _pd.DataFrame({"qcell": cover.astype("int64")}))
         joined = df.withColumn("qcell", cell_col)
         if cover.size <= config.SHUFFLE_COVER_THRESHOLD:
             return joined.join(F.broadcast(cover_df), "qcell").drop("qcell")

@@ -211,6 +211,24 @@ _SESSION_LIST_STATE_SCHEMA = T.StructType([
 ])
 
 
+def fuse_sessions(sessions: list[tuple[int, int, int]], gap_s: int
+                  ) -> list[tuple[int, int, int]]:
+    """Fuse (start, end, n) intervals: sort by start, merge any adjacent
+    pair with gap <= gap_s (counts sum).  Feeding events as 1-event
+    intervals makes this ORDER-INDEPENDENT batch sessionization — the
+    invariant the update-mode operator rests on (property-tested against a
+    sequential fold in tests/test_properties.py)."""
+    sessions = sorted(sessions)
+    out: list[list[int]] = []
+    for s, e, n in sessions:
+        if out and s - out[-1][1] <= gap_s:
+            out[-1][1] = max(out[-1][1], e)
+            out[-1][2] += n
+        else:
+            out.append([s, e, n])
+    return [tuple(x) for x in out]
+
+
 def stream_sessionize_update(events, gap_s: int = 1800, watermark: str = "1 hour"):
     """Sessionization with RETRACTION — the update-mode alternative to
     `stream_sessionize` (round-3 verdict item 5 offered either: assert the
@@ -240,15 +258,7 @@ def stream_sessionize_update(events, gap_s: int = 1800, watermark: str = "1 hour
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def fuse(sessions: list[tuple[int, int, int]]) -> list[tuple[int, int, int]]:
-        sessions = sorted(sessions)
-        out: list[list[int]] = []
-        for s, e, n in sessions:
-            if out and s - out[-1][1] <= gap_s:
-                out[-1][1] = max(out[-1][1], e)
-                out[-1][2] += n
-            else:
-                out.append([s, e, n])
-        return [tuple(x) for x in out]
+        return fuse_sessions(sessions, gap_s)
 
     def fn(key, pdf_iter, state: GroupState):
         user_id = key[0]

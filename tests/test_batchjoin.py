@@ -171,3 +171,15 @@ def test_geom_pack_roundtrip():
     assert np.array_equal(spec2.coords, spec.coords)
     assert len(spec2.holes) == 1
     assert np.array_equal(spec2.holes[0], spec.holes[0])
+
+
+def test_batch_join_empty_inputs(spark, view):
+    """Empty geometry table and all-outside geometries both yield empty
+    results without errors (the mapInPandas stages must tolerate zero
+    batches / zero cover rows)."""
+    empty = spark.createDataFrame([], BJ.GEOM_SCHEMA)
+    assert BJ.batch_spatial_join(view, empty, res=12).count() == 0
+    far = BJ.geoms_to_df(spark, [(0, geo.bbox_spec(-10.0, -10.0, -9.5, -9.6), 0.0)])
+    assert BJ.batch_spatial_join(view, far, res=12).count() == 0
+    assert BJ.batch_join_counts(view, far, res=12, include_empty=True).collect() \
+        == [__import__("pyspark").sql.Row(geom_id=0, n_pois=0)]

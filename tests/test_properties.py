@@ -204,3 +204,36 @@ def test_cover_geometry_superset_property(cx, cy, a, b, buf, res, seed):
         if inside[i] and int(cells_of[i]) not in cover
     ]
     assert not missed, missed[:3]
+
+
+@given(
+    events=st.lists(st.integers(0, 100_000), min_size=0, max_size=60),
+    gap=st.integers(1, 5_000),
+    n_batches=st.integers(1, 6),
+    seed=st.integers(0, 10_000),
+)
+@settings(max_examples=300, deadline=None)
+def test_session_fusion_order_independent(events, gap, n_batches, seed):
+    """The update-mode sessionizer's core invariant: incrementally fusing
+    events in ANY batch split equals one-shot batch sessionization over the
+    sorted event list (so late/out-of-order arrival cannot change the final
+    session set)."""
+    from openpoiservice_spark.streaming import fuse_sessions
+
+    # one-shot reference: sort all events, walk with the gap rule
+    ref = fuse_sessions([(t, t, 1) for t in events], gap)
+
+    # incremental: random permutation, random batch boundaries, fold
+    rng = np.random.default_rng(seed)
+    perm = list(events)
+    rng.shuffle(perm)
+    cuts = sorted(rng.integers(0, len(perm) + 1, size=n_batches - 1).tolist())
+    state: list = []
+    prev = 0
+    for cut in cuts + [len(perm)]:
+        batch = perm[prev:cut]
+        prev = cut
+        state = fuse_sessions(state + [(t, t, 1) for t in batch], gap)
+    assert state == ref
+    # counts conserve events
+    assert sum(n for _, _, n in state) == len(events)
