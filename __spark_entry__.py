@@ -525,6 +525,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return BJ.batch_spatial_join(view, gdf, res=_GEO_RES,
                                      keep_cols=("poi_id",))
 
+    def pois_batch_nearest(spark, sf):
+        # nearest-geometry assignment ('tag each image with its region'):
+        # batch join with per-pair distances + one partial-aggregable
+        # min(struct(distance, geom_id)) per point
+        view = D.spark_poi_view(spark, sf)
+        items = [(gid, G.GeomSpec("point", [(lon0, lat0)]), r)
+                 for gid, lon0, lat0, r in _BATCH_CIRCLES]
+        gdf = BJ.geoms_to_df(spark, items)
+        return BJ.batch_nearest(view, gdf, res=_GEO_RES, keep_cols=("poi_id",))
+
     def pois_batch_corridors(spark, sf):
         # batch corridor flavor: 30 buffered polylines in one job (the
         # dist-to-segments refine under the oracle's per-line corridor pred)
@@ -603,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pois_batch_counts": pois_batch_counts,
         "pois_batch_polygons": pois_batch_polygons,
         "pois_batch_corridors": pois_batch_corridors,
+        "pois_batch_nearest": pois_batch_nearest,
         "ann_lsh_auto_top10": ann_lsh_auto,
         "ann_pairs_auto": ann_pairs_auto,
     }
@@ -848,6 +859,7 @@ def oracle_sql() -> dict[str, str]:
         "pois_batch_counts": _sql_batch_counts(),
         "pois_batch_polygons": _sql_batch_polygons(),
         "pois_batch_corridors": _sql_batch_corridors(),
+        "pois_batch_nearest": _sql_batch_nearest(),
         "ann_lsh_auto_top10": _sql_ann_lsh(_AUTO_PLANES),
         "ann_pairs_auto": _sql_ann_pairs(_AUTO_PLANES),
     }
@@ -893,6 +905,31 @@ def _sql_batch_corridors() -> str:
             f"SELECT CAST({gid} AS BIGINT) AS geom_id, poi_id FROM poi WHERE {pred}"
         )
     return f"{_POI} {' UNION ALL '.join(parts)}"
+
+
+def _sql_batch_nearest() -> str:
+    """Nearest-geometry twin: within-radius join, then row_number over
+    (distance, geom_id) per point — the same deterministic tie-break as the
+    operator's min(struct(distance, geom_id))."""
+    vals = ", ".join(
+        f"(CAST({gid} AS BIGINT), {lon0!r}, {lat0!r}, {r!r})"
+        for gid, lon0, lat0, r in _BATCH_CIRCLES
+    )
+    hav = (
+        f"(2.0 * {D.EARTH_R!r} * asin(least(1.0, sqrt("
+        "pow(sin((radians(p.lat) - radians(g.y0)) / 2.0), 2) "
+        "+ cos(radians(g.y0)) * cos(radians(p.lat)) "
+        "* pow(sin((radians(p.lon) - radians(g.x0)) / 2.0), 2)))))"
+    )
+    return (
+        f"{_POI}, g(geom_id, x0, y0, r) AS (VALUES {vals}), "
+        f"j AS (SELECT p.poi_id, g.geom_id, {hav} AS d "
+        f"FROM poi p JOIN g ON {hav} <= g.r) "
+        "SELECT poi_id, geom_id AS nearest_geom FROM ("
+        "SELECT poi_id, geom_id, "
+        "row_number() OVER (PARTITION BY poi_id ORDER BY d, geom_id) AS rn "
+        "FROM j) t WHERE rn = 1"
+    )
 
 
 def _sql_batch_counts() -> str:

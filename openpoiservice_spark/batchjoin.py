@@ -132,8 +132,9 @@ def auto_salt_cells(pcell_rows: dict[int, int], threshold: int,
     return out
 
 
-def _refine_fn(keep_cols: list[str], lon_col: str, lat_col: str):
-    out_cols = ["geom_id", *keep_cols]
+def _refine_fn(keep_cols: list[str], lon_col: str, lat_col: str,
+               with_distance: bool = False):
+    out_cols = ["geom_id", *keep_cols] + (["distance"] if with_distance else [])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -142,14 +143,21 @@ def _refine_fn(keep_cols: list[str], lon_col: str, lat_col: str):
             lon = b[lon_col].to_numpy()
             lat = b[lat_col].to_numpy()
             keep = np.zeros(len(b), dtype=bool)
+            dist = np.zeros(len(b), dtype=np.float64) if with_distance else None
             # group by geometry within the Arrow batch: the join's hash
             # partitioning clusters each qcell's rows, so batches contain few
             # distinct geometries and each group refines vectorized
             for _, idx in b.groupby("geom_id", sort=False).indices.items():
                 spec, buf = _unpack_geom(b["gspec"].iloc[idx[0]])
-                keep[idx] = spec.within_m(lon[idx], lat[idx], buf)
+                d = spec.distance_m(lon[idx], lat[idx])
+                keep[idx] = d <= buf
+                if with_distance:
+                    dist[idx] = d
             if keep.any():
-                yield b.loc[keep, out_cols]
+                out = b.loc[keep, ["geom_id", *keep_cols]]
+                if with_distance:
+                    out = out.assign(distance=dist[keep])
+                yield out[out_cols]
 
     return run
 
@@ -158,7 +166,8 @@ def batch_spatial_join(points: DataFrame, geoms_df: DataFrame, res: int,
                        keep_cols: tuple[str, ...] = ("poi_id",),
                        lon_col: str = "lon", lat_col: str = "lat",
                        salt_cells: dict[int, int] | None = None,
-                       salt_res: int = cells.PARTITION_RES) -> DataFrame:
+                       salt_res: int = cells.PARTITION_RES,
+                       with_distance: bool = False) -> DataFrame:
     """JOIN every point against every query geometry containing it, in ONE
     job.  Returns (geom_id, *keep_cols) pairs — inner-join semantics: points
     matching no geometry and geometries matching no point produce no row.
@@ -196,9 +205,12 @@ def batch_spatial_join(points: DataFrame, geoms_df: DataFrame, res: int,
     out_schema = T.StructType(
         [T.StructField("geom_id", T.LongType(), False)]
         + [joined.schema[c] for c in keep_cols]
+        + ([T.StructField("distance", T.DoubleType(), False)]
+           if with_distance else [])
     )
-    return joined.mapInPandas(_refine_fn(list(keep_cols), lon_col, lat_col),
-                              schema=out_schema)
+    return joined.mapInPandas(
+        _refine_fn(list(keep_cols), lon_col, lat_col, with_distance),
+        schema=out_schema)
 
 
 def batch_join_counts(points: DataFrame, geoms_df: DataFrame, res: int,
@@ -217,4 +229,25 @@ def batch_join_counts(points: DataFrame, geoms_df: DataFrame, res: int,
         geoms_df.select("geom_id")
         .join(F.broadcast(counts), "geom_id", "left")
         .select("geom_id", F.coalesce(F.col("n_pois"), F.lit(0)).alias("n_pois"))
+    )
+
+
+def batch_nearest(points: DataFrame, geoms_df: DataFrame, res: int,
+                  keep_cols: tuple[str, ...] = ("poi_id",),
+                  **kw) -> DataFrame:
+    """Assign each point its NEAREST geometry among those whose buffer
+    reaches it — the 'tag every image with its region' pipeline op (one row
+    per matched point: *keep_cols, nearest_geom).
+
+    Shape: the batch join with per-pair distances, then ONE partial-
+    aggregable min of struct(distance, geom_id) per point — lexicographic
+    struct ordering gives the deterministic lowest-geom_id tie-break, and
+    the partial aggregation means the shuffle carries one candidate per
+    (task, point), not every pair."""
+    pairs = batch_spatial_join(points, geoms_df, res, keep_cols=keep_cols,
+                               with_distance=True, **kw)
+    best = F.min(F.struct(F.col("distance"), F.col("geom_id"))).alias("best")
+    return (
+        pairs.groupBy(*keep_cols).agg(best)
+        .select(*keep_cols, F.col("best.geom_id").alias("nearest_geom"))
     )

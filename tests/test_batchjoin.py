@@ -183,3 +183,36 @@ def test_batch_join_empty_inputs(spark, view):
     assert BJ.batch_spatial_join(view, far, res=12).count() == 0
     assert BJ.batch_join_counts(view, far, res=12, include_empty=True).collect() \
         == [__import__("pyspark").sql.Row(geom_id=0, n_pois=0)]
+
+
+def test_batch_nearest_matches_brute(spark, view, geom_items):
+    """Nearest-geometry assignment vs numpy argmin with the same
+    (distance, geom_id) tie-break; distances come from the with_distance
+    refine output."""
+    gdf = BJ.geoms_to_df(spark, geom_items)
+    got = {r.poi_id: r.nearest_geom
+           for r in BJ.batch_nearest(view, gdf, res=12).collect()}
+    pts = view.select("poi_id", "lon", "lat").dropDuplicates(["poi_id"]).collect()
+    lon = np.array([p.lon for p in pts])
+    lat = np.array([p.lat for p in pts])
+    pid = [p.poi_id for p in pts]
+    best = {}
+    for gid, spec, buf in geom_items:
+        d = spec.distance_m(lon, lat)
+        ok = d <= buf
+        for i in np.where(ok)[0]:
+            key = (float(d[i]), gid)
+            if pid[i] not in best or key < best[pid[i]]:
+                best[pid[i]] = key
+    want = {p: g for p, (_, g) in best.items()}
+    assert got == want
+    assert len(got) > 0
+
+
+def test_batch_join_with_distance_column(spark, view, geom_items):
+    gdf = BJ.geoms_to_df(spark, geom_items)
+    rows = BJ.batch_spatial_join(view, gdf, res=12,
+                                 with_distance=True).limit(50).collect()
+    assert rows and all(r.distance >= 0.0 for r in rows)
+    bufs = {gid: buf for gid, _, buf in geom_items}
+    assert all(r.distance <= bufs[r.geom_id] for r in rows)
