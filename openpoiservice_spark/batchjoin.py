@@ -76,7 +76,10 @@ def geoms_to_df(spark: SparkSession, items: Iterable[tuple[int, geo.GeomSpec, fl
     pipelines produce GEOM_SCHEMA rows distributedly from their stored
     geometry layer."""
     rows = [(int(gid), pack_geom(spec, buf)) for gid, spec, buf in items]
-    return spark.createDataFrame(rows, GEOM_SCHEMA)
+    # pandas -> Arrow fast path (list-of-tuples createDataFrame pays per-row
+    # pickling; noticeable from ~10^4 geometries up)
+    pdf = pd.DataFrame(rows, columns=["geom_id", "gspec"])
+    return spark.createDataFrame(pdf, GEOM_SCHEMA)
 
 
 def _unpack_geom(s: str) -> tuple[geo.GeomSpec, float]:
