@@ -123,6 +123,22 @@ def cover_rows(geoms_df: DataFrame, res: int) -> DataFrame:
     return geoms_df.mapInPandas(run, schema=_COVER_SCHEMA)
 
 
+def pick_batch_res(items, sample: int = 256) -> int:
+    """Driver-side shared-resolution pick for a geometry batch: the median
+    of cells.pick_cover_res over a bounded sample (all covers and the point
+    key must agree on ONE res).  Median, not min/max: one continent-sized
+    outlier must not coarsen every city-sized geometry's cover (false-
+    positive explosion), nor one tiny geometry blow up a big one's cover
+    row count — outliers on either side still get correct results, just a
+    less-optimal cover for themselves."""
+    items = list(items)
+    step = max(1, len(items) // sample)
+    picks = sorted(
+        cells.pick_cover_res(spec, buf) for _, spec, buf in items[::step]
+    )
+    return picks[len(picks) // 2] if picks else cells.DEFAULT_RES
+
+
 def auto_salt_cells(pcell_rows: dict[int, int], threshold: int,
                     max_salt: int = 32) -> dict[int, int]:
     """Salt map from the lineage per-pcell row counts: pcells whose count

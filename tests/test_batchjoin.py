@@ -216,3 +216,16 @@ def test_batch_join_with_distance_column(spark, view, geom_items):
     assert rows and all(r.distance >= 0.0 for r in rows)
     bufs = {gid: buf for gid, _, buf in geom_items}
     assert all(r.distance <= bufs[r.geom_id] for r in rows)
+
+
+def test_pick_batch_res_median():
+    items = [
+        (0, geo.bbox_spec(8.0, 52.0, 8.1, 52.1), 0.0),      # small -> fine res
+        (1, geo.bbox_spec(8.0, 52.0, 8.2, 52.2), 0.0),
+        (2, geo.bbox_spec(-170.0, -60.0, 170.0, 60.0), 0.0),  # continent outlier
+    ]
+    r = BJ.pick_batch_res(items)
+    fine = cells.pick_cover_res(items[0][1], 0.0)
+    coarse = cells.pick_cover_res(items[2][1], 0.0)
+    assert coarse < r <= fine  # outlier does not drag the pick to coarse
+    assert BJ.pick_batch_res([]) == cells.DEFAULT_RES
