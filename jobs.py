@@ -102,6 +102,8 @@ def main(argv=None):
     sb.add_argument("--res", type=int, default=12, help="cover/join cell res")
     sb.add_argument("--counts", action="store_true",
                     help="write per-geometry counts instead of pairs")
+    sb.add_argument("--nearest", action="store_true",
+                    help="write each point's nearest geometry instead of pairs")
     sb.add_argument("--salt-threshold", type=int, default=0,
                     help="salt pcells whose lineage row count exceeds this "
                          "(0 = no salting)")
@@ -252,7 +254,12 @@ def main(argv=None):
             salt = batchjoin.auto_salt_cells(
                 prepare.load_pcell_stats(spark, args.prepared),
                 args.salt_threshold)
-        fn = batchjoin.batch_join_counts if args.counts else batchjoin.batch_spatial_join
+        if args.counts:
+            fn = batchjoin.batch_join_counts
+        elif args.nearest:
+            fn = batchjoin.batch_nearest
+        else:
+            fn = batchjoin.batch_spatial_join
         out = fn(pts, gdf, res=args.res, keep_cols=("poi_id",), salt_cells=salt)
         out.write.mode("overwrite").parquet(args.out)
         print(json.dumps({
