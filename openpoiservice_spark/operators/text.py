@@ -30,7 +30,15 @@ from pyspark.sql import functions as F
 #   DuckDB: CAST(concat('0x', substr(md5(x), 1, 8)) AS BIGINT)
 
 
-def _h32(col: Column) -> Column:
+def _h32(col: Column, hash_fn: str = "md5") -> Column:
+    """32-bit non-negative hash.  'md5' is the gate default (bit-identical
+    SQL exists in DuckDB); 'xxhash64' is the production option the md5 note
+    below promises — one JVM codegen'd hash instead of md5+conv string work
+    (~3x hash throughput), same [0, 2^32) range so the permutation-overflow
+    bound holds.  Not oracle-portable (DuckDB has no xxhash64), so gates pin
+    md5; the xxhash path is pytest-verified instead."""
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(col), F.lit(1 << 32)).cast("long")
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
@@ -70,12 +78,14 @@ def shingles(docs: DataFrame, n: int = 5) -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame, k: int = 8, n: int = 5) -> DataFrame:
-    """k-permutation MinHash signature per doc: one md5 per shingle, then
+def minhash_signatures(docs: DataFrame, k: int = 8, n: int = 5,
+                       hash_fn: str = "md5") -> DataFrame:
+    """k-permutation MinHash signature per doc: one hash per shingle, then
     perm i = min over shingles of (a_i*h + b_i) mod p.  One explode, k
     map-side mins, one shuffle."""
     a, b = minhash_params(k)
-    sh = shingles(docs, n).select("doc_id", _h32(F.col("shingle")).alias("h"))
+    sh = shingles(docs, n).select(
+        "doc_id", _h32(F.col("shingle"), hash_fn).alias("h"))
     aggs = [
         F.min((F.col("h") * F.lit(a[i]) + F.lit(b[i])) % F.lit(MINHASH_PRIME)).alias(f"mh{i}")
         for i in range(k)
@@ -83,9 +93,10 @@ def minhash_signatures(docs: DataFrame, k: int = 8, n: int = 5) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def _banded(docs: DataFrame, k: int, bands: int, n: int) -> DataFrame:
+def _banded(docs: DataFrame, k: int, bands: int, n: int,
+            hash_fn: str = "md5") -> DataFrame:
     """(doc_id, band, bhash) — each doc exploded into its LSH band keys."""
-    sig = minhash_signatures(docs, k, n)
+    sig = minhash_signatures(docs, k, n, hash_fn)
     rows_per_band = k // bands
     band_cols = []
     for b in range(bands):
@@ -96,16 +107,18 @@ def _banded(docs: DataFrame, k: int, bands: int, n: int) -> DataFrame:
               .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
 
 
-def lsh_bucket_stats(docs: DataFrame, k: int = 8, bands: int = 2, n: int = 5) -> DataFrame:
+def lsh_bucket_stats(docs: DataFrame, k: int = 8, bands: int = 2, n: int = 5,
+                     hash_fn: str = "md5") -> DataFrame:
     """(band, bhash, n_docs) histogram — the observability companion of
     `max_bucket`: route oversized buckets to exact_dedup / sampling instead
     of silently paying their quadratic pair expansion."""
-    return _banded(docs, k, bands, n).groupBy("band", "bhash") \
-                                     .agg(F.count("*").alias("n_docs"))
+    return _banded(docs, k, bands, n, hash_fn).groupBy("band", "bhash") \
+                                              .agg(F.count("*").alias("n_docs"))
 
 
 def lsh_candidate_pairs(docs: DataFrame, k: int = 8, bands: int = 2, n: int = 5,
-                        max_bucket: int | None = None) -> DataFrame:
+                        max_bucket: int | None = None,
+                        hash_fn: str = "md5") -> DataFrame:
     """Band the signatures and self-join on (band, band_hash): docs agreeing
     on any band become a candidate pair (doc_a < doc_b).
 
@@ -117,7 +130,7 @@ def lsh_candidate_pairs(docs: DataFrame, k: int = 8, bands: int = 2, n: int = 5,
     count filter is one extra partial-agg on the same (band, bhash) shuffle
     keys the join needs anyway.  None = no cap (the correctness-gate
     configuration on bounded fixtures)."""
-    banded = _banded(docs, k, bands, n)
+    banded = _banded(docs, k, bands, n, hash_fn)
     if max_bucket is not None:
         ok = (
             banded.groupBy("band", "bhash").agg(F.count("*").alias("_n"))

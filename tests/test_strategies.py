@@ -294,3 +294,27 @@ def test_ivf_partitioned_table_prunes(spark, tmp_path):
     got = [(r.vec_id, r.cosine) for r in df.collect()]
     exp = [(r.vec_id, r.cosine) for r in ANN.ivf_topk(emb, q, 10, nprobe=2).collect()]
     assert got == exp
+
+
+def test_minhash_xxhash64_production_path(spark):
+    """hash_fn='xxhash64' (the production hash the md5 note promises) keeps
+    the MinHash invariants: identical texts get identical signatures under
+    ANY hash, so every exact-duplicate pair still surfaces as an LSH
+    candidate; the plan stays hash-only (no md5 string work)."""
+    from openpoiservice_spark.operators import text as TX
+
+    rows = [(i, f"unique document number {i} with words {i * 7} and {i * 13}")
+            for i in range(40)]
+    # planted exact duplicates: identical text => identical signature under
+    # ANY hash function => guaranteed candidate pair
+    rows += [(1001, rows[3][1]), (1002, rows[3][1]), (2001, rows[17][1])]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    want_pairs = {(3, 1001), (3, 1002), (1001, 1002), (17, 2001)}
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in TX.lsh_candidate_pairs(docs, hash_fn="xxhash64").collect()
+    }
+    assert want_pairs <= got
+    plan = TX.minhash_signatures(docs, hash_fn="xxhash64") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan and "md5" not in plan
