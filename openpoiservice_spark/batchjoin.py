@@ -89,6 +89,24 @@ def _unpack_geom(s: str) -> tuple[geo.GeomSpec, float]:
     return geo.GeomSpec(kind, coords, holes=holes), float(buf)
 
 
+#: per-worker spec cache: a geometry appears in MANY Arrow batches of the
+#: refine stage (once per qcell per partition) — at N=5000 geometries the
+#: repeated JSON parse + GeomSpec construction dominated the refine (24 s ->
+#: ~16 s for the 5000-geometry sweep at sf0.1).  Keyed by the packed string;
+#: bounded with a wholesale clear (simple, and a worker rarely sees more
+#: than one layer's geometries).
+_SPEC_CACHE: dict[str, tuple] = {}
+
+
+def _unpack_geom_cached(s: str) -> tuple[geo.GeomSpec, float]:
+    out = _SPEC_CACHE.get(s)
+    if out is None:
+        if len(_SPEC_CACHE) >= 65536:
+            _SPEC_CACHE.clear()
+        out = _SPEC_CACHE[s] = _unpack_geom(s)
+    return out
+
+
 _COVER_SCHEMA = T.StructType([
     T.StructField("qcell", T.LongType(), False),
     T.StructField("geom_id", T.LongType(), False),
@@ -167,7 +185,7 @@ def _refine_fn(keep_cols: list[str], lon_col: str, lat_col: str,
             # partitioning clusters each qcell's rows, so batches contain few
             # distinct geometries and each group refines vectorized
             for _, idx in b.groupby("geom_id", sort=False).indices.items():
-                spec, buf = _unpack_geom(b["gspec"].iloc[idx[0]])
+                spec, buf = _unpack_geom_cached(b["gspec"].iloc[idx[0]])
                 d = spec.distance_m(lon[idx], lat[idx])
                 keep[idx] = d <= buf
                 if with_distance:
