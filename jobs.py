@@ -247,7 +247,7 @@ def main(argv=None):
         from openpoiservice_spark import batchjoin, config, prepare
 
         pts = prepare.read_prepared(spark, args.prepared).select(
-            F.col("osm_id").alias("poi_id"), "lon", "lat")
+            F.col("osm_id").alias("poi_id"), "lon", "lat", "pcell")
         gdf = spark.read.parquet(args.geoms)
         salt = None
         if args.salt_threshold > 0:
@@ -260,7 +260,8 @@ def main(argv=None):
             fn = batchjoin.batch_nearest
         else:
             fn = batchjoin.batch_spatial_join
-        out = fn(pts, gdf, res=args.res, keep_cols=("poi_id",), salt_cells=salt)
+        out = fn(pts, gdf, res=args.res, keep_cols=("poi_id",),
+                 salt_cells=salt, pcell_col="pcell")
         out.write.mode("overwrite").parquet(args.out)
         print(json.dumps({
             "rows": spark.read.parquet(args.out).count(),

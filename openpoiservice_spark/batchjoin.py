@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import cells, geo
-from .functions import cell_expr, cell_parent_expr
+from .functions import cell_expr, cell_parent_expr, isin_expr
 
 #: geometry-table schema: one row per query geometry.  `gspec` is the packed
 #: JSON geometry `[kind, coords, holes, buffer]` (pack_geom) — a single
@@ -204,7 +204,8 @@ def batch_spatial_join(points: DataFrame, geoms_df: DataFrame, res: int,
                        lon_col: str = "lon", lat_col: str = "lat",
                        salt_cells: dict[int, int] | None = None,
                        salt_res: int = cells.PARTITION_RES,
-                       with_distance: bool = False) -> DataFrame:
+                       with_distance: bool = False,
+                       pcell_col: str | None = None) -> DataFrame:
     """JOIN every point against every query geometry containing it, in ONE
     job.  Returns (geom_id, *keep_cols) pairs — inner-join semantics: points
     matching no geometry and geometries matching no point produce no row.
@@ -213,9 +214,24 @@ def batch_spatial_join(points: DataFrame, geoms_df: DataFrame, res: int,
     cell key must agree).  Pick ~ the finest res whose typical cover stays
     small (cells.pick_cover_res of a representative geometry).
     salt_cells: {salt_res-cell id -> S} skew map (see auto_salt_cells); the
-    hot cells' join work fans out S ways with identical output."""
+    hot cells' join work fans out S ways with identical output.
+    pcell_col: name of the points table's coarse PARTITION key column (the
+    prepared layout's `pcell`).  When given, the geometry layer's pcell
+    footprint (one bounded collect over the small cover side, <= 4^7 cells
+    planet-wide) becomes an IN filter on that column — PARQUET DIRECTORY
+    PRUNING on the point side, so a regional geometry layer never scans the
+    planet-scale table's other partitions."""
     covers = cover_rows(geoms_df, res)
     qcell = cell_expr(F.col(lon_col), F.col(lat_col), res)
+    pcs = None
+    if pcell_col is not None:
+        covers = covers.cache()  # reused by the footprint job and the join
+        pcs = sorted({
+            r[0] for r in covers.select(
+                cell_parent_expr(F.col("qcell"), res, cells.PARTITION_RES)
+                .alias("pc")).distinct().collect()
+        })
+        points = points.filter(isin_expr(pcell_col, pcs))
     cols = list(dict.fromkeys([*keep_cols, lon_col, lat_col]))
     pts = points.select(*cols).withColumn("qcell", qcell)
 

@@ -229,3 +229,27 @@ def test_pick_batch_res_median():
     coarse = cells.pick_cover_res(items[2][1], 0.0)
     assert coarse < r <= fine  # outlier does not drag the pick to coarse
     assert BJ.pick_batch_res([]) == cells.DEFAULT_RES
+
+
+def test_batch_join_pcell_footprint_prunes_partitions(spark, fixture_paths):
+    """pcell_col: the geometry layer's pcell footprint becomes a partition
+    filter on the prepared table — same rows, and the point-side scan shows
+    PartitionFilters (directory pruning; a regional layer never scans the
+    rest of a planet-scale table)."""
+    from collections import Counter
+
+    from openpoiservice_spark import prepare
+
+    pts = prepare.read_prepared(spark, fixture_paths["prepared"]).select(
+        F.col("osm_id").alias("poi_id"), "lon", "lat", "pcell")
+    items = [(0, geo.bbox_spec(8.80, 53.07, 8.82, 53.08), 0.0),
+             (1, geo.GeomSpec("point", [(8.8075, 53.0753)]), 500.0)]
+    gdf = BJ.geoms_to_df(spark, items)
+    base = Counter((r.geom_id, r.poi_id) for r in
+                   BJ.batch_spatial_join(pts, gdf, res=14).collect())
+    pruned_df = BJ.batch_spatial_join(pts, gdf, res=14, pcell_col="pcell")
+    pruned = Counter((r.geom_id, r.poi_id) for r in pruned_df.collect())
+    assert pruned == base and len(base) > 0
+    plan = _plan(pruned_df)
+    seg = plan.split("PartitionFilters")[1][:300]
+    assert "pcell" in seg and "IN" in seg.upper()
