@@ -270,8 +270,8 @@ def run_queries(spark, prepared: str, sf_dir: str) -> tuple[dict, dict]:
 
     def batch_join_200():
         return BJ.batch_join_counts(
-            pois.select(F.col("osm_id").alias("poi_id"), "lon", "lat"),
-            bj_gdf, res=12).count()
+            pois.select(F.col("osm_id").alias("poi_id"), "lon", "lat", "pcell"),
+            bj_gdf, res=12, pcell_col="pcell").count()
 
     # training-data ops on documents/embeddings at the same sf
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
