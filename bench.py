@@ -269,9 +269,12 @@ def run_queries(spark, prepared: str, sf_dir: str) -> tuple[dict, dict]:
     bj_gdf = BJ.geoms_to_df(spark, bj_items)
 
     def batch_join_200():
+        # no pcell_col: this layer covers most of the table's region, so the
+        # footprint prefilter's extra cover pass cannot pay for itself (it
+        # exists for genuinely regional layers against planet-scale tables)
         return BJ.batch_join_counts(
-            pois.select(F.col("osm_id").alias("poi_id"), "lon", "lat", "pcell"),
-            bj_gdf, res=12, pcell_col="pcell").count()
+            pois.select(F.col("osm_id").alias("poi_id"), "lon", "lat"),
+            bj_gdf, res=12).count()
 
     # training-data ops on documents/embeddings at the same sf
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

@@ -141,6 +141,33 @@ def cover_rows(geoms_df: DataFrame, res: int) -> DataFrame:
     return geoms_df.mapInPandas(run, schema=_COVER_SCHEMA)
 
 
+def pcell_footprint(geoms_df: DataFrame, res: int) -> list[int]:
+    """The geometry layer's PARTITION-key footprint: each geometry's FINE
+    cover (the same one the join will use — a coarse-res cover computed
+    directly is NOT a guaranteed superset of the fine cover's parents, the
+    half-diagonal slack differs) reduced to its distinct pcells inside the
+    stage, so the job's output is tiny (<= 4^7 cells planet-wide) however
+    large N x |cover| is.  One extra pass over the SMALL geometry side —
+    deliberately not a cache of the cover rows, which would pin
+    N x |cover| x |gspec| bytes of executor memory at production N."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            pcs: set[int] = set()
+            for i in range(len(b)):
+                spec, buf = _unpack_geom(b["gspec"].iloc[i])
+                cover = cells.cover_geometry(spec, buf, res)
+                if cover.size:
+                    pcs.update(
+                        int(c) for c in
+                        np.unique(cells.cell_parent(cover, cells.PARTITION_RES)))
+            if pcs:
+                yield pd.DataFrame({"pc": sorted(pcs)})
+
+    df = geoms_df.mapInPandas(run, schema="pc long")
+    return sorted({r.pc for r in df.distinct().collect()})
+
+
 def pick_batch_res(items, sample: int = 256) -> int:
     """Driver-side shared-resolution pick for a geometry batch: the median
     of cells.pick_cover_res over a bounded sample (all covers and the point
@@ -223,15 +250,12 @@ def batch_spatial_join(points: DataFrame, geoms_df: DataFrame, res: int,
     planet-scale table's other partitions."""
     covers = cover_rows(geoms_df, res)
     qcell = cell_expr(F.col(lon_col), F.col(lat_col), res)
-    pcs = None
     if pcell_col is not None:
-        covers = covers.cache()  # reused by the footprint job and the join
-        pcs = sorted({
-            r[0] for r in covers.select(
-                cell_parent_expr(F.col("qcell"), res, cells.PARTITION_RES)
-                .alias("pc")).distinct().collect()
-        })
-        points = points.filter(isin_expr(pcell_col, pcs))
+        pcs = pcell_footprint(geoms_df, res)
+        if not pcs:
+            points = points.filter(F.lit(False))
+        else:
+            points = points.filter(isin_expr(pcell_col, pcs))
     cols = list(dict.fromkeys([*keep_cols, lon_col, lat_col]))
     pts = points.select(*cols).withColumn("qcell", qcell)
 
