@@ -89,10 +89,20 @@ def _emb_rows(sf_dir: str) -> int:
 #: target bucket size for the auto-sized LSH gates (small, so the auto pick
 #: lands on a DIFFERENT plane count than the fixed-8 gates: 500 rows -> 6)
 _AUTO_TARGET = 8
-#: plane set the auto gates resolve to at the driver's gate scale (sf0.01's
-#: footer; sf0.001 has the identical row count) — inlined into the oracle SQL
-_AUTO_PLANES = ANN.hyperplanes(
-    ANN.auto_planes(_emb_rows("/root/testdata/sf0.01"), _AUTO_TARGET), 64, seed=13)
+_AUTO_PLANES_CACHE: dict[str, np.ndarray] = {}
+
+
+def _auto_planes_for(sf_dir: str = "/root/testdata/sf0.01") -> np.ndarray:
+    """Plane set the auto gates resolve to at the driver's gate scale
+    (sf0.01's footer; sf0.001 has the identical row count) — inlined into
+    the oracle SQL.  Computed LAZILY inside oracle_sql(): an import-time
+    footer read made importing this module fail on any host without the
+    fixture path (round-4 ADVICE)."""
+    p = _AUTO_PLANES_CACHE.get(sf_dir)
+    if p is None:
+        p = _AUTO_PLANES_CACHE[sf_dir] = ANN.hyperplanes(
+            ANN.auto_planes(_emb_rows(sf_dir), _AUTO_TARGET), 64, seed=13)
+    return p
 
 
 def _batch_bboxes(k: int = 1000, seed: int = 31):
@@ -860,8 +870,8 @@ def oracle_sql() -> dict[str, str]:
         "pois_batch_polygons": _sql_batch_polygons(),
         "pois_batch_corridors": _sql_batch_corridors(),
         "pois_batch_nearest": _sql_batch_nearest(),
-        "ann_lsh_auto_top10": _sql_ann_lsh(_AUTO_PLANES),
-        "ann_pairs_auto": _sql_ann_pairs(_AUTO_PLANES),
+        "ann_lsh_auto_top10": _sql_ann_lsh(_auto_planes_for()),
+        "ann_pairs_auto": _sql_ann_pairs(_auto_planes_for()),
     }
     return out
 

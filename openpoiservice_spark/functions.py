@@ -41,8 +41,12 @@ def isin_expr(col_sql: str, values) -> Column:
     costs one py4j round-trip per literal (~0.8 ms each — a 400-cell cover
     spends ~0.3 s of driver latency just building the predicate); a single
     F.expr string is one round-trip regardless of list size.  Values must be
-    ints (cell ids)."""
+    ints (cell ids).  An empty list means 'no cell can match' — return a
+    literal false (`IN ()` is a SQL parse error; the helper must be total,
+    its callers' emptiness guards are non-local)."""
     vals = ",".join(str(int(v)) for v in values)
+    if not vals:
+        return F.lit(False)
     return F.expr(f"{col_sql} IN ({vals})")
 
 

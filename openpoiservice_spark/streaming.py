@@ -66,16 +66,36 @@ def _batch_already_committed(spark: SparkSession, prepared_dir: str, fp: str) ->
     )
 
 
-def _write_batch(batch_df: DataFrame, prepared_dir: str, fp: str) -> None:
+#: lock acquisition budget for the streaming sink — generous (a large merge's
+#: dynamic-partition rewrite can legitimately hold the lock for minutes) and
+#: retried, so the streaming query waits a healthy writer out instead of dying
+#: on prepare.commit_lock's interactive 120 s default.
+STREAM_LOCK_TIMEOUT_S = 600.0
+STREAM_LOCK_RETRIES = 3
+
+
+def _write_batch(batch_df: DataFrame, prepared_dir: str, fp: str,
+                 lock_timeout_s: float = STREAM_LOCK_TIMEOUT_S) -> None:
     t0 = time.time()
     spark = batch_df.sparkSession
     batch_df = batch_df.cache()
     try:
         # fenced against concurrent merges: an append landing between a
         # merge's snapshot read and its dynamic-partition overwrite would be
-        # deleted by the directory rewrite (prepare.commit_lock)
-        with prepare.commit_lock(spark, prepared_dir):
-            _write_batch_locked(batch_df, spark, prepared_dir, fp, t0)
+        # deleted by the directory rewrite (prepare.commit_lock).  Bounded
+        # retries: a CommitConflict here kills the whole streaming query, so
+        # only give up once the lock has been contended for
+        # STREAM_LOCK_RETRIES x lock_timeout_s (likely a genuinely dead
+        # writer past any healthy merge duration).
+        for attempt in range(STREAM_LOCK_RETRIES):
+            try:
+                with prepare.commit_lock(spark, prepared_dir,
+                                         timeout_s=lock_timeout_s):
+                    _write_batch_locked(batch_df, spark, prepared_dir, fp, t0)
+                return
+            except prepare.CommitConflict:
+                if attempt == STREAM_LOCK_RETRIES - 1:
+                    raise
     finally:
         batch_df.unpersist()
 
@@ -151,9 +171,12 @@ def stream_sessionize(events, gap_s: int = 1800, watermark: str = "1 hour"):
                 ts.extend(pdf["t"].tolist())
             # Spark does NOT filter late rows for applyInPandasWithState
             # (the watermark only drives timeouts) — enforce session-window
-            # semantics ourselves: events below the watermark are dropped
-            wm_s = state.getCurrentWatermarkMs() // 1000
-            ts = [t for t in ts if t >= wm_s]
+            # semantics ourselves: events below the watermark are dropped.
+            # ms precision, same predicate as the update-mode twin (a
+            # seconds-floored filter would admit events the ms-precision
+            # clamp below considers late)
+            wm_ms = state.getCurrentWatermarkMs()
+            ts = [t for t in ts if t * 1000 >= wm_ms]
             ts.sort()
             start, last, n = state.get if state.exists else (None, None, 0)
             for t in ts:
@@ -177,9 +200,10 @@ def stream_sessionize(events, gap_s: int = 1800, watermark: str = "1 hour"):
             if last is not None:  # every event filtered + no prior state
                 state.update((start, last, n))
                 # close the open session when the user goes silent past the
-                # gap (armed above the watermark — Spark rejects at/below)
-                state.setTimeoutTimestamp(
-                    max((last + gap_s) * 1000, wm_s * 1000 + 1))
+                # gap (armed above the watermark — Spark rejects at/below;
+                # clamp at ms precision: wm_s*1000+1 can land AT/below a
+                # sub-second watermark and fail the query)
+                state.setTimeoutTimestamp(max((last + gap_s) * 1000, wm_ms + 1))
         yield pd.DataFrame(
             closed, columns=["user_id", "session_start", "session_end", "n_events"]
         )

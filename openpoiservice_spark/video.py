@@ -56,12 +56,17 @@ def _dib_encode(frame: np.ndarray) -> bytes:
     return out.tobytes()
 
 
-def _dib_decode(data: bytes, w: int, h: int) -> np.ndarray:
+def _dib_decode(data: bytes, w: int, h: int, top_down: bool = False) -> np.ndarray:
+    """`top_down`: a NEGATIVE biHeight in the stream format declares rows in
+    top-down order (no vertical flip) — the standard DIB convention; our own
+    encoder always writes bottom-up, but externally-produced AVIs may not."""
     row_len = (w * 3 + 3) & ~3
     if len(data) < row_len * h:
         raise ValueError("AVI: truncated DIB frame")
     rows = np.frombuffer(data[: row_len * h], dtype=np.uint8).reshape(h, row_len)
     bgr = rows[:, : w * 3].reshape(h, w, 3)
+    if top_down:
+        return bgr[:, :, ::-1].copy()
     return bgr[::-1, :, ::-1].copy()
 
 
@@ -123,10 +128,11 @@ def probe_avi(data: bytes) -> dict:
         raise ValueError("AVI: bad RIFF signature")
     w = h = None
     compression = None
+    top_down = False
     frames: list[tuple[int, int]] = []
 
     def walk(pos: int, end: int) -> None:
-        nonlocal w, h, compression
+        nonlocal w, h, compression, top_down
         while pos + 8 <= end:
             fourcc = data[pos:pos + 4]
             size = _read_u32(data, pos + 4)
@@ -139,7 +145,9 @@ def probe_avi(data: bytes) -> dict:
                 if size < 20:
                     raise ValueError("AVI: short BITMAPINFOHEADER")
                 w = struct.unpack_from("<i", data, body + 4)[0]
-                h = abs(struct.unpack_from("<i", data, body + 8)[0])
+                bi_h = struct.unpack_from("<i", data, body + 8)[0]
+                h = abs(bi_h)
+                top_down = bi_h < 0  # negative biHeight = top-down row order
                 bits = struct.unpack_from("<H", data, body + 14)[0]
                 compression = data[body + 16:body + 20]
                 if compression == _u32(0) and bits != 24:
@@ -158,7 +166,8 @@ def probe_avi(data: bytes) -> dict:
     else:
         raise ValueError(f"AVI: unsupported codec {compression!r} "
                          "(MJPG and BI_RGB are decodable without external libs)")
-    return {"codec": codec, "w": int(w), "h": int(h), "frames": frames}
+    return {"codec": codec, "w": int(w), "h": int(h), "frames": frames,
+            "top_down": top_down}
 
 
 def decode_frame(data: bytes, info: dict, idx: int) -> np.ndarray:
@@ -168,7 +177,8 @@ def decode_frame(data: bytes, info: dict, idx: int) -> np.ndarray:
     payload = data[off:off + size]
     if info["codec"] == "mjpeg":
         return _jpeg.decode_jpeg(bytes(payload))
-    return _dib_decode(bytes(payload), info["w"], info["h"])
+    return _dib_decode(bytes(payload), info["w"], info["h"],
+                       top_down=info.get("top_down", False))
 
 
 def decode_avi(data: bytes) -> list[np.ndarray]:

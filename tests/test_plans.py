@@ -203,3 +203,14 @@ def test_dateline_prefilter_lon_disjunction_pushes(spark, fixture_paths):
     plan = _plan(out)
     pushed = plan.split("PushedFilters")[1][:400]
     assert "Or(GreaterThanOrEqual(lon,179.9)" in pushed.replace(" ", "")
+
+
+def test_isin_expr_empty_list_is_total(spark):
+    """isin_expr([]) must be a plain false literal, not a SQL parse error —
+    the helper is used from four modules and the emptiness guard was
+    non-local (round-4 ADVICE)."""
+    from openpoiservice_spark.functions import isin_expr
+
+    df = spark.range(5).filter(isin_expr("id", []))
+    assert df.count() == 0
+    assert spark.range(5).filter(isin_expr("id", [1, 3])).count() == 2

@@ -129,3 +129,28 @@ def test_sample_frames_spark_end_to_end(spark):
                                 "image_id string, bytes binary, fmt string")
     with pytest.raises(Exception, match="NotImplementedError|no H.264"):
         IM.sample_frames(mp4, n_frames=2).collect()
+
+
+def test_avi_top_down_dib_decodes_unflipped():
+    # a negative biHeight declares top-down row order (external encoders do
+    # this); round-4 ADVICE: we used to decode it bottom-up => vertical flip
+    frames = _frames(3)
+    data = bytearray(video.encode_avi(frames, codec="rgb"))
+    # locate the strf BITMAPINFOHEADER and negate biHeight; the DIB payload
+    # stays bottom-up, so we must also re-encode the payloads top-down for a
+    # faithful external file — easier: flip expected frames instead
+    i = data.find(b"strf")
+    assert i > 0
+    import struct as _s
+
+    body = i + 8
+    (bi_h,) = _s.unpack_from("<i", data, body + 8)
+    _s.pack_into("<i", data, body + 8, -bi_h)
+    info = video.probe_avi(bytes(data))
+    assert info["top_down"] is True
+    dec = video.decode_avi(bytes(data))
+    # payload rows are physically bottom-up (our encoder), and the header now
+    # claims top-down => the decoder must NOT flip: output is the mirror
+    for a, b in zip(frames, dec):
+        assert np.array_equal(a[::-1], b)
+        assert not np.array_equal(a, b)  # and a flip WOULD have been wrong
