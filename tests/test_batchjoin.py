@@ -253,3 +253,124 @@ def test_batch_join_pcell_footprint_prunes_partitions(spark, fixture_paths):
     plan = _plan(pruned_df)
     seg = plan.split("PartitionFilters")[1][:300]
     assert "pcell" in seg and "IN" in seg.upper()
+
+
+# --------------------------------------------------------------- batch kNN
+
+
+def _knn_brute(pts_rows, queries, k):
+    """(query_id, poi_id) multiset of the exact k nearest by
+    (haversine, poi_id) — duplicate poi_ids in the derived view keep row
+    multiplicity, so compare Counters."""
+    from collections import Counter
+
+    lon = np.array([p.lon for p in pts_rows])
+    lat = np.array([p.lat for p in pts_rows])
+    pid = np.array([p.poi_id for p in pts_rows])
+    out = Counter()
+    for qid, qlon, qlat in queries:
+        d = geo.haversine_m(lon, lat, qlon, qlat)
+        order = np.lexsort((pid, d))[:k]
+        out.update((qid, int(i)) for i in pid[order])
+    return out
+
+
+def _qdf(spark, queries):
+    return spark.createDataFrame(
+        [(int(q), float(lo), float(la)) for q, lo, la in queries],
+        BJ.KNN_QUERY_SCHEMA)
+
+
+def test_batch_knn_matches_brute(spark, view):
+    from collections import Counter
+
+    rng = np.random.default_rng(17)
+    queries = [(i, 7.8 + 5.8 * float(rng.random()),
+                52.2 + 1.6 * float(rng.random())) for i in range(40)]
+    stats = {}
+    got = Counter(
+        (r.query_id, r.poi_id)
+        for r in BJ.batch_knn(view, _qdf(spark, queries), k=10, res=12,
+                              r0=2, probe_stats=stats).collect())
+    want = _knn_brute(view.select("poi_id", "lon", "lat").collect(),
+                      queries, 10)
+    assert got == want
+    assert sum(got.values()) == 40 * 10  # dup poi_ids collapse Counter keys
+
+
+def test_batch_knn_fence_reprobe_expands(spark):
+    """A query in an empty neighbourhood must re-probe (fence/count check)
+    and still return the exact answer — the bounded re-probe pass, not a
+    silent short result."""
+    from collections import Counter
+
+    rng = np.random.default_rng(23)
+    n = 400
+    pts = spark.createDataFrame(
+        [(int(i), 10.5 + 0.02 * float(rng.random()),
+          53.5 + 0.02 * float(rng.random())) for i in range(n)],
+        "poi_id long, lon double, lat double")
+    # query ~150 km away from the only cluster; r0=1 at res 12 covers ~5 km
+    queries = [(0, 9.0, 52.5)]
+    stats = {}
+    got = Counter((r.query_id, r.poi_id) for r in
+                  BJ.batch_knn(pts, _qdf(spark, queries), k=5, res=12, r0=1,
+                               probe_stats=stats).collect())
+    assert stats["rounds"] > 1  # the re-probe actually fired
+    want = _knn_brute(pts.collect(), queries, 5)
+    assert got == want
+
+
+def test_batch_knn_dateline_and_k_gt_n(spark):
+    """Longitude wrap: a query near +180 finds points just across the
+    antimeridian; k > table size returns every row exactly once."""
+    pts = spark.createDataFrame(
+        [(1, -179.9, 0.0), (2, -179.8, 0.05), (3, 170.0, 0.0), (4, 0.0, 0.0)],
+        "poi_id long, lon double, lat double")
+    rows = BJ.batch_knn(pts, _qdf(spark, [(0, 179.95, 0.0)]), k=2, res=10,
+                        r0=1).collect()
+    assert {r.poi_id for r in rows} == {1, 2}
+    all_rows = BJ.batch_knn(pts, _qdf(spark, [(0, 179.95, 0.0)]), k=50,
+                            res=10, r0=1).collect()
+    assert sorted(r.poi_id for r in all_rows) == [1, 2, 3, 4]
+
+
+def test_batch_knn_plan_no_cartesian(spark, view):
+    """Scale contract: the candidate stage is an EQUI-join on the cell key —
+    never a cartesian/nested-loop — and with broadcast off both sides
+    hash-partition on qcell (one shuffle each)."""
+    queries = [(i, 8.0 + 0.1 * i, 52.5) for i in range(20)]
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(BJ.batch_knn(view, _qdf(spark, queries), k=5, res=12,
+                                  r0=2))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+    assert plan.count("hashpartitioning(qcell") >= 2
+
+
+def test_batch_knn_pcell_pruning(spark, fixture_paths):
+    """pcell_col turns the query disks' partition footprint into directory
+    pruning on the prepared point table — same result, PartitionFilters in
+    the scan."""
+    from collections import Counter
+
+    from openpoiservice_spark import prepare
+
+    pts = prepare.read_prepared(spark, fixture_paths["prepared"]).select(
+        F.col("osm_id").alias("poi_id"), "lon", "lat", "pcell")
+    queries = [(0, 8.8075, 53.0753), (1, 8.81, 53.08)]
+    base = Counter((r.query_id, r.poi_id) for r in
+                   BJ.batch_knn(pts, _qdf(spark, queries), k=5, res=14,
+                                r0=2).collect())
+    pruned_df = BJ.batch_knn(pts, _qdf(spark, queries), k=5, res=14, r0=2,
+                             pcell_col="pcell")
+    pruned = Counter((r.query_id, r.poi_id) for r in pruned_df.collect())
+    assert pruned == base and len(base) == 10
+    plan = _plan(pruned_df)
+    seg = plan.split("PartitionFilters")[1][:300]
+    assert "pcell" in seg and "IN" in seg.upper()
