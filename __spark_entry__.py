@@ -170,10 +170,23 @@ def _batch_corridors(k: int = 30, seed: int = 43):
     return out
 
 
+def _batch_knn_queries(k: int = 500, seed: int = 47):
+    """Deterministic probe-location layer for the batch kNN gate, inset in
+    the derived view's lon/lat domain (so every query's 10th-NN distance,
+    measured <= 11.3 km at sf0.001 / 3.6 km at sf0.01, stays far inside the
+    oracle twin's +-0.5 deg lon / +-0.3 deg lat candidate box: the nearest
+    EXCLUDED point is >= 32.8 km away — the SQL prefilter provably contains
+    the true top-10)."""
+    rng = np.random.default_rng(seed)
+    return [(qid, 7.8 + 5.9 * float(rng.random()),
+             52.15 + 1.7 * float(rng.random())) for qid in range(k)]
+
+
 _BATCH_BBOXES = _batch_bboxes()
 _BATCH_CIRCLES = _batch_circles()
 _BATCH_POLYGONS = _batch_polygons()
 _BATCH_CORRIDORS = _batch_corridors()
+_BATCH_KNN_QUERIES = _batch_knn_queries()
 
 
 # --------------------------------------------------------------- entry
@@ -555,6 +568,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return BJ.batch_spatial_join(view, gdf, res=_GEO_RES,
                                      keep_cols=("poi_id",))
 
+    def pois_batch_knn(spark, sf):
+        # round-4 verdict item 1: for EACH of 500 probe locations, the 10
+        # nearest POIs — one distributed job (disk-cover equi-join +
+        # partial top-k + fence re-probe; batchjoin.batch_knn), not 500
+        # driver-steered requests.  Twin: DuckDB haversine + row_number
+        # over a provably-containing candidate box.
+        view = D.spark_poi_view(spark, sf)
+        qdf = spark.createDataFrame(
+            [(int(q), float(x), float(y)) for q, x, y in _BATCH_KNN_QUERIES],
+            BJ.KNN_QUERY_SCHEMA)
+        return BJ.batch_knn(view, qdf, k=10, res=_GEO_RES, r0=2,
+                            keep_cols=("poi_id",)).select("query_id", "poi_id")
+
     def image_phash_pairs(spark, sf):
         # image near-dup by 64-bit fingerprint: banded hamming LSH + exact
         # popcount verify (operators/images.hamming_pairs).  The fingerprint
@@ -624,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pois_batch_polygons": pois_batch_polygons,
         "pois_batch_corridors": pois_batch_corridors,
         "pois_batch_nearest": pois_batch_nearest,
+        "pois_batch_knn": pois_batch_knn,
         "ann_lsh_auto_top10": ann_lsh_auto,
         "ann_pairs_auto": ann_pairs_auto,
     }
@@ -870,6 +897,7 @@ def oracle_sql() -> dict[str, str]:
         "pois_batch_polygons": _sql_batch_polygons(),
         "pois_batch_corridors": _sql_batch_corridors(),
         "pois_batch_nearest": _sql_batch_nearest(),
+        "pois_batch_knn": _sql_batch_knn(),
         "ann_lsh_auto_top10": _sql_ann_lsh(_auto_planes_for()),
         "ann_pairs_auto": _sql_ann_pairs(_auto_planes_for()),
     }
@@ -939,6 +967,32 @@ def _sql_batch_nearest() -> str:
         "SELECT poi_id, geom_id, "
         "row_number() OVER (PARTITION BY poi_id ORDER BY d, geom_id) AS rn "
         "FROM j) t WHERE rn = 1"
+    )
+
+
+def _sql_batch_knn() -> str:
+    """Batch-kNN twin: per-query top-10 by (haversine, poi_id) via
+    row_number, candidates prefiltered to a +-0.5 deg lon / +-0.3 deg lat
+    box whose nearest excluded point (>= 32.8 km) is provably beyond every
+    query's measured 10th-NN distance (<= 11.3 km at the smallest gate
+    scale — see _batch_knn_queries)."""
+    vals = ", ".join(
+        f"(CAST({qid} AS BIGINT), {x0!r}, {y0!r})"
+        for qid, x0, y0 in _BATCH_KNN_QUERIES
+    )
+    hav = (
+        f"(2.0 * {D.EARTH_R!r} * asin(least(1.0, sqrt("
+        "pow(sin((radians(p.lat) - radians(g.y0)) / 2.0), 2) "
+        "+ cos(radians(g.y0)) * cos(radians(p.lat)) "
+        "* pow(sin((radians(p.lon) - radians(g.x0)) / 2.0), 2)))))"
+    )
+    return (
+        f"{_POI}, g(query_id, x0, y0) AS (VALUES {vals}), "
+        f"j AS (SELECT g.query_id, p.poi_id, "
+        f"row_number() OVER (PARTITION BY g.query_id ORDER BY {hav}, p.poi_id) AS rn "
+        "FROM poi p JOIN g ON p.lon BETWEEN g.x0 - 0.5 AND g.x0 + 0.5 "
+        "AND p.lat BETWEEN g.y0 - 0.3 AND g.y0 + 0.3) "
+        "SELECT query_id, poi_id FROM j WHERE rn <= 10"
     )
 
 
