@@ -568,6 +568,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return BJ.batch_spatial_join(view, gdf, res=_GEO_RES,
                                      keep_cols=("poi_id",))
 
+    def pois_batch_nearest_all(spark, sf):
+        # round-4 verdict item 6: the UNBOUNDED nearest contract —
+        # max_radius widens every circle's candidacy to >= 60 km and
+        # unmatched='null' emits an audit row for points beyond even that
+        # (no silent drops).  NULLs coalesce to -1 for the hash compare
+        # (a NULL int surfaces as NaN through DuckDB's pandas bridge).
+        view = D.spark_poi_view(spark, sf)
+        items = [(gid, G.GeomSpec("point", [(lon0, lat0)]), r)
+                 for gid, lon0, lat0, r in _BATCH_CIRCLES]
+        gdf = BJ.geoms_to_df(spark, items)
+        out = BJ.batch_nearest(view, gdf, res=_GEO_RES, keep_cols=("poi_id",),
+                               max_radius=60_000.0, unmatched="null")
+        return out.select(
+            "poi_id",
+            F.coalesce(F.col("nearest_geom"), F.lit(-1)).cast("long")
+            .alias("nearest_geom"))
+
     def pois_batch_join_salted(spark, sf):
         # round-4 verdict item 2: the SKEW-SALTED code path under the
         # oracle.  The salt map derives from the view's real per-pcell
@@ -680,6 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pois_batch_nearest": pois_batch_nearest,
         "pois_batch_knn": pois_batch_knn,
         "pois_batch_join_salted": pois_batch_join_salted,
+        "pois_batch_nearest_all": pois_batch_nearest_all,
         "ann_lsh_auto_top10": ann_lsh_auto,
         "ann_pairs_auto": ann_pairs_auto,
     }
@@ -929,6 +947,7 @@ def oracle_sql() -> dict[str, str]:
         "pois_batch_knn": _sql_batch_knn(),
         # same twin as the unsalted gate — salting must not change one row
         "pois_batch_join_salted": _sql_batch_join(),
+        "pois_batch_nearest_all": _sql_batch_nearest_all(),
         "ann_lsh_auto_top10": _sql_ann_lsh(_auto_planes_for()),
         "ann_pairs_auto": _sql_ann_pairs(_auto_planes_for()),
     }
@@ -998,6 +1017,34 @@ def _sql_batch_nearest() -> str:
         "SELECT poi_id, geom_id, "
         "row_number() OVER (PARTITION BY poi_id ORDER BY d, geom_id) AS rn "
         "FROM j) t WHERE rn = 1"
+    )
+
+
+def _sql_batch_nearest_all() -> str:
+    """Unbounded-nearest twin: candidacy radius greatest(r, 60 km), then a
+    LEFT join from the full poi set so unmatched points keep a row
+    (nearest_geom -1); same (distance, geom_id) tie-break as the operator's
+    min(struct(...))."""
+    vals = ", ".join(
+        f"(CAST({gid} AS BIGINT), {lon0!r}, {lat0!r}, {r!r})"
+        for gid, lon0, lat0, r in _BATCH_CIRCLES
+    )
+    hav = (
+        f"(2.0 * {D.EARTH_R!r} * asin(least(1.0, sqrt("
+        "pow(sin((radians(p.lat) - radians(g.y0)) / 2.0), 2) "
+        "+ cos(radians(g.y0)) * cos(radians(p.lat)) "
+        "* pow(sin((radians(p.lon) - radians(g.x0)) / 2.0), 2)))))"
+    )
+    return (
+        f"{_POI}, g(geom_id, x0, y0, r) AS (VALUES {vals}), "
+        f"j AS (SELECT p.poi_id, g.geom_id, {hav} AS d "
+        f"FROM poi p JOIN g ON {hav} <= greatest(g.r, 60000.0)), "
+        "rk AS (SELECT poi_id, geom_id, "
+        "row_number() OVER (PARTITION BY poi_id ORDER BY d, geom_id) AS rn "
+        "FROM j) "
+        "SELECT p.poi_id, coalesce(r.geom_id, -1) AS nearest_geom "
+        "FROM poi p LEFT JOIN (SELECT poi_id, geom_id FROM rk WHERE rn = 1) r "
+        "USING (poi_id)"
     )
 
 

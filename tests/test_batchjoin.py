@@ -374,3 +374,30 @@ def test_batch_knn_pcell_pruning(spark, fixture_paths):
     plan = _plan(pruned_df)
     seg = plan.split("PartitionFilters")[1][:300]
     assert "pcell" in seg and "IN" in seg.upper()
+
+
+def test_batch_nearest_max_radius_and_unmatched(spark):
+    """max_radius widens candidacy beyond each geometry's own buffer;
+    unmatched='null' keeps an audit row for points beyond even that."""
+    pts = spark.createDataFrame(
+        [(1, 8.00, 53.00),   # inside g0's buffer
+         (2, 8.05, 53.00),   # ~3.3 km from g0: outside buffer, inside radius
+         (3, 9.50, 53.00)],  # ~100 km away: beyond max_radius
+        "poi_id long, lon double, lat double")
+    items = [(0, geo.GeomSpec("point", [(8.0, 53.0)]), 500.0),
+             (7, geo.GeomSpec("point", [(8.2, 53.0)]), 500.0)]
+    gdf = BJ.geoms_to_df(spark, items)
+    base = {r.poi_id: r.nearest_geom
+            for r in BJ.batch_nearest(pts, gdf, res=12).collect()}
+    assert base == {1: 0}  # radius-bounded default drops 2 and 3
+    wide = {r.poi_id: r.nearest_geom
+            for r in BJ.batch_nearest(pts, gdf, res=12,
+                                      max_radius=20_000.0).collect()}
+    assert wide == {1: 0, 2: 0}
+    all_rows = {r.poi_id: r.nearest_geom
+                for r in BJ.batch_nearest(pts, gdf, res=12,
+                                          max_radius=20_000.0,
+                                          unmatched="null").collect()}
+    assert all_rows == {1: 0, 2: 0, 3: None}
+    with pytest.raises(ValueError):
+        BJ.batch_nearest(pts, gdf, res=12, unmatched="bogus")
