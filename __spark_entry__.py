@@ -170,6 +170,33 @@ def _batch_corridors(k: int = 30, seed: int = 43):
     return out
 
 
+#: deterministic CLUSTERED embedding transform, expressible in BOTH engines:
+#: v'_i = 0.05 * v_i, plus +4.0 at dimension 8 * (vec_id % 8) — 8 well-
+#: separated clusters derived from the isotropic table (IVF's workload; on
+#: isotropic data recall ~ scanned fraction and IVF cannot help by
+#: construction, BENCH/EXPLAIN.md).  The trained-IVF gate rests on this:
+#: with clean separation, the trained codebook's top-DEFAULT_NPROBE probe
+#: provably contains the query's whole cluster, so approximate top-10 ==
+#: exact top-10 == the DuckDB brute twin (verified at both gate scales).
+_IVF_EPS = 0.05
+_IVF_SPIKE = 4.0
+_IVF_TRAINED_C = 16  # over-segmented: every true cluster gets >= 1 centroid
+
+
+def _ivf_cluster_expr() -> str:
+    return (
+        f"transform(embedding, (x, i) -> CAST({_IVF_EPS!r} * CAST(x AS DOUBLE)"
+        f" + CASE WHEN i = 8 * CAST(vec_id % 8 AS INT) THEN {_IVF_SPIKE!r} "
+        "ELSE 0.0 END AS DOUBLE))"
+    )
+
+
+def _ivf_query_vec() -> np.ndarray:
+    q2 = _IVF_EPS * np.asarray(_QVEC, dtype=np.float64)
+    q2[8 * 3] += _IVF_SPIKE  # the probe lands in cluster 3
+    return q2
+
+
 def _batch_knn_queries(k: int = 500, seed: int = 47):
     """Deterministic probe-location layer for the batch kNN gate, inset in
     the derived view's lon/lat domain (so every query's 10th-NN distance,
@@ -568,6 +595,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return BJ.batch_spatial_join(view, gdf, res=_GEO_RES,
                                      keep_cols=("poi_id",))
 
+    def ann_ivf_trained(spark, sf):
+        # round-4 verdict item 5: the FULL trained path under the oracle —
+        # ivf_train (spherical k-means on a deterministic sorted sample) ->
+        # write_ivf_table (layout partitioned by trained cell; probes are
+        # parquet DIRECTORY PRUNING) -> ivf_topk_table at DEFAULT_NPROBE.
+        # Runs over the clustered transform (_ivf_cluster_expr) where the
+        # probe provably contains the exact top-10, so the DuckDB twin is
+        # plain brute-force cosine over the same transformed vectors.
+        import tempfile
+
+        emb2 = _emb(spark, sf).select(
+            "vec_id", F.expr(_ivf_cluster_expr()).alias("embedding"))
+        # bounded deterministic training sample (sorted by vec_id so the
+        # k-means init is independent of scan order / parallelism); a
+        # production table samples with .sample(fraction).limit(n)
+        sample = emb2.orderBy("vec_id").toPandas()
+        cent = ANN.ivf_train(np.stack(sample["embedding"].to_numpy()),
+                             n_centroids=_IVF_TRAINED_C, seed=21)
+        path = tempfile.mkdtemp(prefix="ivf_gate_") + "/ivf"
+        ANN.write_ivf_table(emb2, path, cent)
+        return ANN.ivf_topk_table(spark, path, _ivf_query_vec(), 10, cent,
+                                  nprobe=ANN.DEFAULT_NPROBE)
+
     def pois_batch_nearest_all(spark, sf):
         # round-4 verdict item 6: the UNBOUNDED nearest contract —
         # max_radius widens every circle's candidacy to >= 60 km and
@@ -698,6 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pois_batch_knn": pois_batch_knn,
         "pois_batch_join_salted": pois_batch_join_salted,
         "pois_batch_nearest_all": pois_batch_nearest_all,
+        "ann_ivf_trained_top10": ann_ivf_trained,
         "ann_lsh_auto_top10": ann_lsh_auto,
         "ann_pairs_auto": ann_pairs_auto,
     }
@@ -948,6 +999,7 @@ def oracle_sql() -> dict[str, str]:
         # same twin as the unsalted gate — salting must not change one row
         "pois_batch_join_salted": _sql_batch_join(),
         "pois_batch_nearest_all": _sql_batch_nearest_all(),
+        "ann_ivf_trained_top10": _sql_ann_ivf_trained(),
         "ann_lsh_auto_top10": _sql_ann_lsh(_auto_planes_for()),
         "ann_pairs_auto": _sql_ann_pairs(_auto_planes_for()),
     }
@@ -1228,6 +1280,30 @@ def _sql_ann_ivf() -> str:
         f"SELECT vec_id, round({_sql_cosine('embedding', _QVEC)}, 6) AS cosine "
         f"FROM a WHERE ivf_cell IN ({probes}) "
         "ORDER BY cosine DESC, vec_id LIMIT 10"
+    )
+
+
+def _sql_ann_ivf_trained() -> str:
+    """Brute-force twin of the trained-IVF gate: exact cosine top-10 over
+    the SAME clustered transform (per-element 0.05*v + spike CASE), term
+    order matching the engine's left-fold."""
+    q2 = _ivf_query_vec()
+    qn = float(np.linalg.norm(q2))
+
+    def elem(i: int) -> str:
+        s = f"({_IVF_EPS!r} * CAST(embedding[{i + 1}] AS DOUBLE)"
+        if i % 8 == 0:
+            s += (f" + (CASE WHEN vec_id % 8 = {i // 8} "
+                  f"THEN {_IVF_SPIKE!r} ELSE 0.0 END)")
+        return s + ")"
+
+    dot = "(" + " + ".join(
+        f"{elem(i)} * CAST({float(v)!r} AS DOUBLE)" for i, v in enumerate(q2)
+    ) + ")"
+    norm = "sqrt(" + " + ".join(f"{elem(i)} * {elem(i)}" for i in range(64)) + ")"
+    return (
+        f"SELECT vec_id, round({dot} / ({norm} * CAST({qn!r} AS DOUBLE)), 6) "
+        "AS cosine FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10"
     )
 
 
