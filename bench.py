@@ -276,6 +276,27 @@ def run_queries(spark, prepared: str, sf_dir: str) -> tuple[dict, dict]:
             pois.select(F.col("osm_id").alias("poi_id"), "lon", "lat"),
             bj_gdf, res=12).count()
 
+    # batch kNN: 500 probe locations x k=10 over the full table in one job
+    # (disk-cover equi-join + partial top-k + fence re-probe); ring radii
+    # seed from the table's lineage density stats so the dense common case
+    # is a single round
+    from openpoiservice_spark import prepare as PR
+
+    import pandas as _pd
+
+    knn_rng = np.random.default_rng(53)
+    kq_df = spark.createDataFrame(_pd.DataFrame({
+        "query_id": np.arange(500, dtype=np.int64),
+        "qlon": 7.6 + 6.3 * knn_rng.random(500),
+        "qlat": 52.05 + 1.9 * knn_rng.random(500),
+    }), BJ.KNN_QUERY_SCHEMA)
+    knn_pstats = PR.load_pcell_stats(spark, prepared)
+
+    def batch_knn_500():
+        return BJ.batch_knn(
+            pois.select(F.col("osm_id").alias("poi_id"), "lon", "lat"),
+            kq_df, k=10, res=14, pcell_rows=knn_pstats).count()
+
     # training-data ops on documents/embeddings at the same sf
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -290,6 +311,7 @@ def run_queries(spark, prepared: str, sf_dir: str) -> tuple[dict, dict]:
         ("image_phash_dedup", image_phash_dedup, "phash_pairs"),
         ("pois_request", pois_request, "request_features"),
         ("batch_join_200", batch_join_200, "batch_join_geoms"),
+        ("batch_knn_500", batch_knn_500, "batch_knn_rows"),
         ("minhash_lsh", lambda: TX.lsh_candidate_pairs(docs).count(), None),
         ("ann_brute_top10",
          lambda: ANN.brute_topk(emb, ANN.query_vector(), 10).count(), None),
