@@ -108,6 +108,20 @@ def main(argv=None):
                     help="salt pcells whose lineage row count exceeds this "
                          "(0 = no salting)")
 
+    sbk = sub.add_parser("batch-knn",
+                         help="k nearest POIs for each of N probe locations, "
+                              "one job (disk-cover join + fence re-probe)")
+    sbk.add_argument("--prepared", required=True)
+    sbk.add_argument("--queries", required=True,
+                     help="probe table parquet (query_id long, qlon double, "
+                          "qlat double — batchjoin.KNN_QUERY_SCHEMA)")
+    sbk.add_argument("--out", required=True)
+    sbk.add_argument("-k", type=int, default=10)
+    sbk.add_argument("--res", type=int, default=14, help="join cell res")
+    sbk.add_argument("--no-pcell-prune", action="store_true",
+                     help="skip the probe-footprint partition pruning "
+                          "(planet-spread probe sets)")
+
     sf = sub.add_parser("frames", help="sample video/image frames (AVI real)")
     sf.add_argument("--images", required=True, help="payload parquet path")
     sf.add_argument("--out", required=True)
@@ -266,6 +280,25 @@ def main(argv=None):
         print(json.dumps({
             "rows": spark.read.parquet(args.out).count(),
             "geoms": gdf.count(), "salted_cells": len(salt or {}),
+        }))
+    elif args.cmd == "batch-knn":
+        from pyspark.sql import functions as F
+
+        from openpoiservice_spark import batchjoin, prepare
+
+        pts = prepare.read_prepared(spark, args.prepared).select(
+            F.col("osm_id").alias("poi_id"), "lon", "lat", "pcell")
+        qdf = spark.read.parquet(args.queries)
+        stats = {}
+        out = batchjoin.batch_knn(
+            pts, qdf, k=args.k, res=args.res, keep_cols=("poi_id",),
+            pcell_rows=prepare.load_pcell_stats(spark, args.prepared),
+            pcell_col=None if args.no_pcell_prune else "pcell",
+            probe_stats=stats)
+        out.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({
+            "rows": spark.read.parquet(args.out).count(),
+            "queries": qdf.count(), "rounds": stats.get("rounds"),
         }))
     elif args.cmd == "frames":
         from openpoiservice_spark.operators import images as IM
