@@ -481,9 +481,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         n = len(pdf)
         chunks = [pdf.iloc[: n // 3], pdf.iloc[n // 3: 2 * n // 3],
                   pdf.iloc[2 * n // 3:]]
-        late_hold = pd.DataFrame(columns=pdf.columns)
+        late_hold = pdf.iloc[0:0]
         for i, ch in enumerate(chunks):
-            ch = pd.concat([late_hold, ch], ignore_index=True)
+            if len(late_hold):
+                ch = pd.concat([late_hold, ch], ignore_index=True)
             if i < len(chunks) - 1:
                 cut = int(ch["ts"].astype("int64").max() // 1_000_000_000)
                 lt = (ch["ts"].astype("int64") // 1_000_000_000) > cut - 3600
