@@ -5,10 +5,11 @@ carries an encoded image in `bytes` with metadata (w, h, fmt).  This container
 ships no image libraries (no PIL), so:
 
   * ``fmt="png"`` — a real, spec-compliant PNG codec implemented here with
-    zlib (8-bit RGB, filter type 0).  Any standard viewer can open our PNGs;
-    our decoder handles the subset our encoder emits and raises
-    ``NotImplementedError`` for foreign PNG features (interlace, palettes,
-    other filter types) — a clearly-marked stub per the build rules.
+    zlib.  The encoder emits 8-bit RGB filter-0 streams any standard viewer
+    opens; the DECODER covers the full 8-bit baseline spec (all five
+    scanline filters, color types 0/2/3/4/6 incl. palettes, bit depths
+    1/2/4/8, Adam7 interlace) so foreign PNGs ingest too — only 16-bit
+    channels keep a loud ``NotImplementedError``.
   * ``fmt="jpeg"`` — REAL baseline JPEG decode is supported: `decode_image`
     sniffs the FFD8 magic and routes genuine JPEG streams to the
     spec-compliant T.81 codec in `jpeg.py` (baseline sequential, standard
@@ -65,13 +66,115 @@ def encode_png(pixels: np.ndarray) -> bytes:
     return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
+#: Adam7 interlace pass grid (PNG spec 4.5.2: x0, y0, dx, dy per pass)
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+               4: (8, 16), 6: (8, 16)}
+
+
+def _unfilter(raw: np.ndarray, n_rows: int, stride: int, bpp: int,
+              pos: int) -> tuple[np.ndarray, int]:
+    """Undo per-scanline filtering (PNG spec 9: None/Sub/Up/Average/Paeth).
+    Sub inverts as a per-byte-lane cumulative sum (mod 256 distributes over
+    addition); Up is a vector add against the prior row; Average/Paeth are
+    sequential along the row by definition — fine at fixture sizes, and a
+    production decode path batches many small images, not one huge one."""
+    out = np.zeros((n_rows, stride), dtype=np.uint8)
+    need = n_rows * (1 + stride)
+    if len(raw) - pos < need:
+        raise ValueError("PNG: IDAT shorter than the scanline geometry")
+    for y in range(n_rows):
+        ft = int(raw[pos])
+        line = raw[pos + 1: pos + 1 + stride].astype(np.int32)
+        pos += 1 + stride
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if ft == 0:
+            rec = line
+        elif ft == 1:  # Sub
+            rec = line.copy()
+            for lane in range(bpp):
+                rec[lane::bpp] = np.cumsum(rec[lane::bpp]) & 0xFF
+        elif ft == 2:  # Up
+            rec = (line + prev) & 0xFF
+        elif ft == 3:  # Average
+            rec = np.empty(stride, np.int32)
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            rec = np.empty(stride, np.int32)
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG: bad filter type {ft}")
+        out[y] = rec.astype(np.uint8)
+    return out, pos
+
+
+def _rows_to_samples(rows: np.ndarray, w: int, channels: int,
+                     depth: int) -> np.ndarray:
+    """Filtered-and-reconstructed scanline bytes -> (n_rows, w*channels)
+    samples, unpacking sub-byte depths MSB-first (PNG spec 7.2)."""
+    if depth == 8:
+        return rows[:, : w * channels].astype(np.int32)
+    bits = np.unpackbits(rows, axis=1)
+    n = w * channels
+    per = bits[:, : n * depth].reshape(len(rows), n, depth).astype(np.int32)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.int32)
+    return (per * weights).sum(axis=2)
+
+
+def _samples_to_rgb(samples: np.ndarray, w: int, ctype: int, depth: int,
+                    plte: bytes | None) -> np.ndarray:
+    """(n_rows, w*channels) samples -> (n_rows, w, 3) uint8.  Alpha is
+    dropped (the engine's rasters are opaque RGB); gray scales to full
+    8-bit range; palette indexes into PLTE with bounds checking."""
+    n_rows = len(samples)
+    if ctype == 0:
+        maxv = (1 << depth) - 1
+        g = (samples * 255) // maxv
+        return np.repeat(g.astype(np.uint8).reshape(n_rows, w, 1), 3, axis=2)
+    if ctype == 2:
+        return samples.astype(np.uint8).reshape(n_rows, w, 3)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("PNG: palette image without PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = samples.reshape(n_rows, w)
+        if idx.max(initial=0) >= len(pal):
+            raise ValueError("PNG: palette index out of range")
+        return pal[idx]
+    if ctype == 4:
+        g = samples.reshape(n_rows, w, 2)[:, :, 0]
+        return np.repeat(g.astype(np.uint8).reshape(n_rows, w, 1), 3, axis=2)
+    if ctype == 6:
+        return samples.astype(np.uint8).reshape(n_rows, w, 4)[:, :, :3].copy()
+    raise ValueError(f"PNG: bad color type {ctype}")
+
+
 def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes -> (h, w, 3) uint8.  Supports the subset encode_png emits.
-    Corrupt/truncated streams raise ValueError (fuzz-asserted)."""
+    """PNG bytes -> (h, w, 3) uint8.  Full baseline coverage (round-4
+    'Missing' item 4 — the former foreign-feature stubs are real now): all
+    five scanline filters, color types 0/2/3/4/6 (gray, RGB, palette,
+    gray+alpha, RGBA; alpha dropped, gray replicated), bit depths 1/2/4/8,
+    and Adam7 interlace.  16-bit channels stay a loud NotImplementedError
+    (nothing in the pipeline produces them; silently truncating precision
+    would be worse than refusing).  Corrupt/truncated streams raise
+    ValueError (fuzz-asserted)."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos = 8
     w = h = None
+    depth = ctype = interlace = 0
+    plte = None
     idat = b""
     while pos < len(data):
         if pos + 8 > len(data):
@@ -85,12 +188,25 @@ def decode_png(data: bytes) -> np.ndarray:
         if tag == b"IHDR":
             if len(body) != 13:
                 raise ValueError("corrupt PNG IHDR")
-            w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
-            if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body)
+            if comp != 0 or filt != 0:
+                raise ValueError("PNG: unknown compression/filter method")
+            if ctype not in _PNG_CHANNELS or depth not in _PNG_DEPTHS[ctype]:
+                raise ValueError(
+                    f"PNG: invalid depth/color combination {depth}/{ctype}")
+            if depth == 16:
                 raise NotImplementedError(
-                    "decode_png stub: only 8-bit RGB, no interlace "
-                    f"(got depth={depth} ctype={ctype} interlace={interlace})"
-                )
+                    "decode_png: 16-bit channels unsupported (nothing in "
+                    "the pipeline emits them; refusing beats truncating)")
+            if interlace not in (0, 1):
+                raise ValueError(f"PNG: bad interlace method {interlace}")
+            if w == 0 or h == 0 or w > 1 << 24 or h > 1 << 24:
+                raise ValueError("PNG: bad dimensions")
+        elif tag == b"PLTE":
+            if length % 3 or length == 0:
+                raise ValueError("PNG: bad PLTE length")
+            plte = body
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
@@ -98,13 +214,27 @@ def decode_png(data: bytes) -> np.ndarray:
     if w is None:
         raise ValueError("PNG has no IHDR")
     try:
-        flat = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
-        raw = flat.reshape(h, 1 + w * 3)
-    except (zlib.error, ValueError) as e:
+        raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    except zlib.error as e:
         raise ValueError(f"corrupt PNG stream: {e}") from None
-    if (raw[:, 0] != 0).any():
-        raise NotImplementedError("decode_png stub: only filter type 0")
-    return raw[:, 1:].reshape(h, w, 3).copy()
+    channels = _PNG_CHANNELS[ctype]
+    bpp = max(1, channels * depth // 8)
+    out = np.zeros((h, w, 3), dtype=np.uint8)
+    passes = _ADAM7 if interlace else [(0, 0, 1, 1)]
+    rpos = 0
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = (pw * channels * depth + 7) // 8
+        rows, rpos = _unfilter(raw, ph, stride, bpp, rpos)
+        rgb = _samples_to_rgb(_rows_to_samples(rows, pw, channels, depth),
+                              pw, ctype, depth, plte)
+        out[y0::dy, x0::dx] = rgb
+    if rpos != len(raw):
+        raise ValueError("PNG: trailing IDAT bytes beyond the pixel data")
+    return out
 
 
 def encode_qjpg(pixels: np.ndarray, step: int = QJPG_STEP) -> bytes:
