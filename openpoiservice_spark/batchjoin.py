@@ -481,7 +481,12 @@ def batch_knn(points: DataFrame, queries_df: DataFrame, k: int, res: int,
             _knn_cover_fn(k, res_r, pcell_rows, r0, max_ring),
             schema=_KNN_COVER_SCHEMA)
         pts = points.select(*cols)
-        if pcell_col is not None:
+        if pcell_col is not None and res_r >= cells.PARTITION_RES:
+            # footprint pruning only while the join res is at/finer than the
+            # table's partition key: a coarser re-probe round's cover cells
+            # have no pcell ancestors to IN-match (and a disk that coarse is
+            # approaching a full scan anyway) — skip the filter, never emit
+            # a wrong one
             pcs = sorted({
                 int(r.pc) for r in covers.select(
                     F.expr(_pcell_parent_sql("qcell", res_r)).alias("pc")

@@ -401,3 +401,22 @@ def test_batch_nearest_max_radius_and_unmatched(spark):
     assert all_rows == {1: 0, 2: 0, 3: None}
     with pytest.raises(ValueError):
         BJ.batch_nearest(pts, gdf, res=12, unmatched="bogus")
+
+
+def test_batch_knn_pcell_pruning_coarse_reprobe(spark, fixture_paths):
+    """A far-away probe whose re-probe rounds coarsen BELOW the partition
+    res must still return the exact answer with pcell_col set (the footprint
+    filter is skipped once cover cells have no pcell ancestors — a wrong IN
+    list would silently lose rows)."""
+    from collections import Counter
+
+    from openpoiservice_spark import prepare
+
+    pts = prepare.read_prepared(spark, fixture_paths["prepared"]).select(
+        F.col("osm_id").alias("poi_id"), "lon", "lat", "pcell")
+    queries = [(0, -140.0, -40.0)]  # ~17,000 km from the fixture cluster
+    got = Counter((r.query_id, r.poi_id) for r in
+                  BJ.batch_knn(pts, _qdf(spark, queries), k=3, res=14, r0=1,
+                               pcell_col="pcell", max_rounds=8).collect())
+    want = _knn_brute(pts.collect(), queries, 3)
+    assert got == want and sum(got.values()) == 3
