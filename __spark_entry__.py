@@ -740,6 +740,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                      salt_cells=salt,
                                      salt_res=C.PARTITION_RES)
 
+    def pois_batch_wkt(spark, sf):
+        # geometry-layer INGESTION under the oracle (round-4 verdict item
+        # 7): the same bbox layer serialized as WKT POLYGON text, parsed
+        # distributedly by geomtext.wkt_to_gspec, must join identically to
+        # the driver-built layer — same VALUES range-join twin.
+        from openpoiservice_spark import geomtext as GT
+
+        view = D.spark_poi_view(spark, sf)
+        import pandas as pd
+
+        wkts = pd.DataFrame(
+            [(gid,
+              f"POLYGON (({x1!r} {y1!r}, {x2!r} {y1!r}, {x2!r} {y2!r}, "
+              f"{x1!r} {y2!r}, {x1!r} {y1!r}))")
+             for gid, (x1, y1, x2, y2) in _BATCH_BBOXES],
+            columns=["geom_id", "wkt"])
+        gdf = GT.wkt_to_gspec(spark.createDataFrame(wkts))
+        return BJ.batch_spatial_join(view, gdf, res=_GEO_RES,
+                                     keep_cols=("poi_id",))
+
     def pois_batch_knn(spark, sf):
         # round-4 verdict item 1: for EACH of 500 probe locations, the 10
         # nearest POIs — one distributed job (disk-cover equi-join +
@@ -825,6 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pois_batch_nearest": pois_batch_nearest,
         "pois_batch_knn": pois_batch_knn,
         "pois_batch_join_salted": pois_batch_join_salted,
+        "pois_batch_wkt": pois_batch_wkt,
         "pois_batch_nearest_all": pois_batch_nearest_all,
         "ann_ivf_trained_top10": ann_ivf_trained,
         "ann_lsh_auto_top10": ann_lsh_auto,
@@ -1076,6 +1097,8 @@ def oracle_sql() -> dict[str, str]:
         "pois_batch_knn": _sql_batch_knn(),
         # same twin as the unsalted gate — salting must not change one row
         "pois_batch_join_salted": _sql_batch_join(),
+        # WKT-ingested layer must join identically to the driver-built one
+        "pois_batch_wkt": _sql_batch_join(),
         "pois_batch_nearest_all": _sql_batch_nearest_all(),
         "ann_ivf_trained_top10": _sql_ann_ivf_trained(),
         "ann_lsh_auto_top10": _sql_ann_lsh(_auto_planes_for()),
