@@ -491,3 +491,55 @@ def test_stream_prepare_jsonl_source(spark, tmp_path):
                                                "coordinates": list(fixtures.POINT_P)},
                                    "buffer": 50}})
     assert len(fc["features"]) == fixtures.GOLDEN_COUNTS["point_buffer50"]
+
+
+def test_sessionize_subsecond_watermark_clamp(spark, tmp_path):
+    """Round-4 ADVICE: with sub-second event timestamps the watermark lands
+    at ms precision; a seconds-floored clamp (`wm_s*1000+1`) can arm the
+    event-time timeout AT/below the actual watermark and Spark fails the
+    query.  Scenario: a user whose only batch events are all late-filtered
+    while the open session's (last+gap) is under the watermark — the clamp
+    is the only thing keeping setTimeoutTimestamp legal.  Both operators
+    must survive it and still close the session correctly."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    for op_name, op in (("append", streaming.stream_sessionize),
+                        ("update", streaming.stream_sessionize_update)):
+        raw_dir = str(tmp_path / f"ev_{op_name}")
+        os.makedirs(raw_dir)
+
+        def chunk(rows, name, _raw=raw_dir):
+            df = pd.DataFrame(rows, columns=["user_id", "t"])
+            df["ts"] = pd.to_datetime(
+                df.pop("t"), unit="s", utc=True).astype("datetime64[us, UTC]")
+            _write_chunk(df, os.path.join(_raw, name))
+
+        # b0: u1 opens (1000, 1100); u2's 10000.7 drives a FRACTIONAL
+        # watermark (10000.7 - 3600 = 6400.7 s => wm_ms % 1000 == 700)
+        chunk([(1, 1000.2), (1, 1100.4), (2, 10000.7)], "c0.parquet")
+        # b1: u1's only event is below the watermark -> dropped; its state's
+        # last+gap (2900 s) is under wm 6400.7 -> the clamp must arm ABOVE
+        # 6400700 ms (the old seconds-floored clamp armed at 6400001 -> boom)
+        chunk([(1, 500.9)], "c1.parquet")
+        # b2: raise the watermark so u1's session closes via timeout
+        chunk([(2, 20000.0)], "c2.parquet")
+
+        schema = T.StructType([
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ])
+        src = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", "1").parquet(raw_dir))
+        sessions = op(src, gap_s=1800, watermark="1 hour")
+        writer = sessions.writeStream.format("memory") \
+            .queryName(f"subsec_{op_name}")
+        if op_name == "update":
+            writer = writer.outputMode("update")
+        q = (writer.option("checkpointLocation", str(tmp_path / f"cp_{op_name}"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()  # the OLD clamp failed the query right here
+        rows = spark.sql(f"SELECT * FROM subsec_{op_name}").collect()
+        u1 = [(r.session_start, r.session_end, r.n_events) for r in rows
+              if r.user_id == 1 and getattr(r, "status", "closed") == "closed"]
+        assert u1 == [(1000, 1100, 2)], (op_name, rows)
