@@ -125,8 +125,24 @@ def parse_wkt(s: str) -> list[tuple[str, list, list]]:
             shell, holes = _rings(_strip_parens(g))
             parts.append(("polygon", shell, holes))
         return parts
+    if tag == "MULTIPOINT":
+        # both spellings are legal WKT: (1 2, 3 4) and ((1 2), (3 4))
+        parts = []
+        for g in _split_top(inner):
+            g = g.strip()
+            body = _strip_parens(g) if g.startswith("(") else g
+            parts.append(("point", _coords(body), []))
+        return parts
+    if tag == "MULTILINESTRING":
+        parts = []
+        for g in _split_top(inner):
+            pts = _coords(_strip_parens(g))
+            if len(pts) < 2:
+                raise GeomParseError("MULTILINESTRING part needs >= 2 points")
+            parts.append(("linestring", pts, []))
+        return parts
     raise GeomParseError(f"unsupported WKT type {tag} (POINT/LINESTRING/"
-                         "POLYGON/MULTIPOLYGON are supported)")
+                         "POLYGON and their MULTI forms are supported)")
 
 
 def parse_geojson(obj) -> list[tuple[str, list, list]]:
@@ -171,6 +187,16 @@ def parse_geojson(obj) -> list[tuple[str, list, list]]:
             if not rings:
                 raise GeomParseError("MultiPolygon part needs >= 1 ring")
             parts.append(("polygon", rings[0], rings[1:]))
+        return parts
+    if t == "MultiPoint":
+        return [("point", [(float(x), float(y))], []) for x, y in cc]
+    if t == "MultiLineString":
+        parts = []
+        for line in cc:
+            pts = [(float(x), float(y)) for x, y in line]
+            if len(pts) < 2:
+                raise GeomParseError("MultiLineString part needs >= 2 points")
+            parts.append(("linestring", pts, []))
         return parts
     raise GeomParseError(f"unsupported GeoJSON type {t!r}")
 

@@ -114,3 +114,21 @@ def test_geojson_layer_multipolygon_parts(spark):
     rows = GT.geojson_to_gspec(layer).collect()
     assert [r.geom_id for r in rows] == [5, 5]
     assert rows[0].gspec != rows[1].gspec
+
+
+def test_parse_multi_point_and_linestring():
+    # both legal MULTIPOINT spellings
+    for wkt in ("MULTIPOINT (1 2, 3 4)", "MULTIPOINT ((1 2), (3 4))"):
+        parts = GT.parse_wkt(wkt)
+        assert [(k, pts) for k, pts, _ in parts] == [
+            ("point", [(1.0, 2.0)]), ("point", [(3.0, 4.0)])]
+    parts = GT.parse_wkt("MULTILINESTRING ((1 2, 3 4), (5 6, 7 8, 9 10))")
+    assert [p[0] for p in parts] == ["linestring", "linestring"]
+    assert len(parts[1][1]) == 3
+    with pytest.raises(GT.GeomParseError):
+        GT.parse_wkt("MULTILINESTRING ((1 2))")
+    gj = {"type": "MultiPoint", "coordinates": [[1, 2], [3, 4]]}
+    assert len(GT.parse_geojson(gj)) == 2
+    gj = {"type": "MultiLineString",
+          "coordinates": [[[1, 2], [3, 4]], [[5, 6], [7, 8]]]}
+    assert [p[0] for p in GT.parse_geojson(gj)] == ["linestring"] * 2
