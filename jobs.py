@@ -108,6 +108,11 @@ def main(argv=None):
                     help="salt pcells whose lineage row count exceeds this "
                          "(0 = no salting)")
 
+    sco = sub.add_parser("compact",
+                         help="small-file compaction of pcell directories")
+    sco.add_argument("--prepared", required=True)
+    sco.add_argument("--min-files", type=int, default=2)
+
     sbk = sub.add_parser("batch-knn",
                          help="k nearest POIs for each of N probe locations, "
                               "one job (disk-cover join + fence re-probe)")
@@ -281,6 +286,11 @@ def main(argv=None):
             "rows": spark.read.parquet(args.out).count(),
             "geoms": gdf.count(), "salted_cells": len(salt or {}),
         }))
+    elif args.cmd == "compact":
+        from openpoiservice_spark import prepare
+
+        print(json.dumps(prepare.compact(spark, args.prepared,
+                                         min_files=args.min_files)))
     elif args.cmd == "batch-knn":
         from pyspark.sql import functions as F
 

@@ -393,6 +393,86 @@ def read_prepared(spark: SparkSession, prepared_dir: str) -> DataFrame:
     return spark.read.parquet(data_path(prepared_dir))
 
 
+def compact(spark: SparkSession, prepared_dir: str, min_files: int = 2,
+            target_pcells: set[int] | None = None) -> dict:
+    """Small-file compaction of pcell directories — the operational
+    counterpart of the streaming sink: every micro-batch appends one file
+    per touched pcell, and at production cadence a hot partition accrues
+    thousands of small files (scan open()/footer overhead grows linearly
+    with file count, and row-group min/max pruning degrades because each
+    tiny file is its own group).  This job rewrites any pcell holding >=
+    `min_files` parquet files back into the canonical layout (sorted by
+    cell, 8 MB row groups) via the SAME fenced dynamic-partition overwrite
+    the merge path uses — rows are bit-identical, only the file geometry
+    changes.  Lineage gains an `op='compact'` SNAPSHOT row per pcell (total
+    rows, same convention as import/merge), which also re-bases the
+    planner's density stats after a long run of stream deltas."""
+    t0 = time.time()
+    run_id = uuid.uuid4().hex[:12]
+    with commit_lock(spark, prepared_dir):
+        return _compact_locked(spark, prepared_dir, min_files, target_pcells,
+                               run_id, t0)
+
+
+def _compact_locked(spark, prepared_dir, min_files, target_pcells,
+                    run_id, t0) -> dict:
+    fs, data_p = _hadoop_fs(spark, data_path(prepared_dir))
+    cand: dict[int, int] = {}
+    for st in fs.listStatus(data_p):
+        name = st.getPath().getName()
+        if not name.startswith("pcell="):
+            continue
+        pc = int(name.split("=", 1)[1])
+        if target_pcells is not None and pc not in target_pcells:
+            continue
+        nf = sum(1 for f in fs.listStatus(st.getPath())
+                 if f.getPath().getName().endswith(".parquet"))
+        if nf >= min_files:
+            cand[pc] = nf
+    if not cand:
+        return {"pcells": 0, "files_before": 0, "files_after": 0,
+                "rows": 0, "run_id": run_id}
+    affected = sorted(cand)
+    sliced = read_prepared(spark, prepared_dir).filter(
+        F.col("pcell").isin(affected)).cache()
+    # materialize BEFORE the overwrite: the rewrite reads the directories it
+    # replaces (same discipline as _merge_locked)
+    n_rows = sliced.count()
+    (
+        sliced.repartition(len(affected), F.col("pcell"))
+        .sortWithinPartitions("pcell", "cell")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("compression", "uncompressed")
+        .option("parquet.block.size", 8 * 1024 * 1024)
+        .partitionBy("pcell")
+        .parquet(data_path(prepared_dir))
+    )
+    sliced.unpersist()
+    stats = (
+        spark.read.parquet(data_path(prepared_dir))
+        .filter(F.col("pcell").isin(affected))
+        .groupBy("pcell").agg(F.count("*").alias("n_rows"))
+        .collect()
+    )
+    after = 0
+    for pc in affected:
+        sub = fs.listStatus(
+            _hadoop_fs(spark, f"{data_path(prepared_dir)}/pcell={pc}")[1])
+        after += sum(1 for f in sub
+                     if f.getPath().getName().endswith(".parquet"))
+    wall_ms = int((time.time() - t0) * 1000)
+    ts = time.time()
+    _append_lineage(spark, prepared_dir, [
+        dict(run_id=run_id, op="compact", fingerprint="compact",
+             pcell=int(r.pcell), n_rows=int(r.n_rows), approx_bytes=0,
+             wall_ms=wall_ms, status="committed", ts=ts)
+        for r in stats
+    ])
+    return {"pcells": len(affected), "files_before": sum(cand.values()),
+            "files_after": after, "rows": n_rows, "run_id": run_id}
+
+
 def merge(spark: SparkSession, prepared_dir: str, upserts_raw: DataFrame,
           delete_keys: list[tuple[int, int]] | None = None) -> dict:
     """MERGE INTO the prepared table: upsert on PK (osm_type, osm_id) +

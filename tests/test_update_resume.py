@@ -238,3 +238,57 @@ def test_jsonl_and_csv_sources_match_parquet_import(spark, tmp_path):
     jl = prepare.read_raw(spark, jsonl, "jsonl").filter(
         F.col("image_id").isin(list(pq_bytes))).collect()
     assert {r.image_id: bytes(r.bytes) for r in jl} == pq_bytes
+
+
+def test_compact_small_files(spark, tmp_path):
+    """Streaming appends leave one file per micro-batch per pcell; compact
+    rewrites those directories into the canonical layout with IDENTICAL
+    rows, fewer files, and a lineage snapshot that re-bases the planner
+    stats."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from openpoiservice_spark import fixtures, streaming
+
+    raw = str(tmp_path / "raw.parquet")
+    prepared = str(tmp_path / "prepared")
+    fixtures.build_sf_test(raw, n_filler=200)
+    prepare.prepare(spark, raw, prepared)
+
+    def ups(ids, name):
+        rows = [(oid, 5.0 + 0.0001 * i, 5.0 + 0.0001 * i,
+                 {"amenity": "cafe", "name": f"poi-{oid}"})
+                for i, oid in enumerate(ids)]
+        p = str(tmp_path / f"{name}.parquet")
+        pq.write_table(pa.Table.from_pandas(
+            fixtures._rows_to_frame(rows), preserve_index=False), p)
+        return p
+
+    # three stream micro-batches into the SAME pcell -> 3+ small files
+    for b in range(3):
+        path = ups([9_700_000 + 10 * b + i for i in range(4)], f"s{b}")
+        streaming._write_batch(
+            prepare.derive(spark.read.parquet(path)), prepared,
+            f"stream:compact:batch:{b}")
+
+    before = prepare.read_prepared(spark, prepared)
+    rows_before = sorted(
+        (r.osm_id, r.caption) for r in before.select("osm_id", "caption").collect())
+    stats = prepare.compact(spark, prepared, min_files=2)
+    assert stats["pcells"] >= 1
+    assert stats["files_after"] < stats["files_before"]
+    after = prepare.read_prepared(spark, prepared)
+    rows_after = sorted(
+        (r.osm_id, r.caption) for r in after.select("osm_id", "caption").collect())
+    assert rows_after == rows_before  # bit-identical rows, new geometry
+    lin = prepare.read_lineage(spark, prepared)
+    assert lin.filter("op = 'compact' AND status = 'committed'").count() >= 1
+    # planner stats re-based: the compact snapshot equals the live count
+    live = {r.pcell: r.cnt for r in after.groupBy("pcell")
+            .agg(F.count("*").alias("cnt")).collect()}
+    est = prepare.load_pcell_stats(spark, prepared)
+    assert all(est[pc] == n for pc, n in live.items())
+    # idempotent: nothing left above the threshold at min_files=2 unless a
+    # pcell genuinely needs >1 file; a second run is a no-op here
+    again = prepare.compact(spark, prepared, min_files=2)
+    assert again["pcells"] == 0
