@@ -197,6 +197,19 @@ def _ivf_query_vec() -> np.ndarray:
     return q2
 
 
+def _batch_cat_filters(seed: int = 67):
+    """Deterministic per-geometry category allow-lists for the filtered
+    batch-stats gate: each circle admits 4 of the derived view's category
+    ids (the reference's per-request category filter, N requests at once)."""
+    cats = sorted({cat for _, _, cat, _ in D.POOL})
+    rng = np.random.default_rng(seed)
+    out = []
+    for gid, _, _, _ in _BATCH_CIRCLES:
+        pick = sorted(rng.choice(len(cats), size=4, replace=False).tolist())
+        out.append((gid, [cats[i] for i in pick]))
+    return out
+
+
 def _batch_knn_queries(k: int = 500, seed: int = 47):
     """Deterministic probe-location layer for the batch kNN gate, inset in
     the derived view's lon/lat domain (so every query's 10th-NN distance,
@@ -740,6 +753,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                      salt_cells=salt,
                                      salt_res=C.PARTITION_RES)
 
+    def pois_batch_stats_filtered(spark, sf):
+        # batch stats with PER-GEOMETRY category filters (P4 x J7-batch):
+        # each circle counts only its own allowed category ids — N
+        # category-filtered stats requests (reference
+        # query_builder.py:46-53) as one job; the allow-list joins as one
+        # broadcast AFTER the spatial stage.
+        view = D.spark_poi_view(spark, sf)
+        items = [(gid, G.GeomSpec("point", [(lon0, lat0)]), r)
+                 for gid, lon0, lat0, r in _BATCH_CIRCLES]
+        gdf = BJ.geoms_to_df(spark, items)
+        allowed = spark.createDataFrame(
+            [(gid, c) for gid, cs in _batch_cat_filters() for c in cs],
+            "geom_id long, cat int")
+        return BJ.batch_filtered_counts(view, gdf, res=_GEO_RES,
+                                        allowed=allowed)
+
     def pois_batch_wkt(spark, sf):
         # geometry-layer INGESTION under the oracle (round-4 verdict item
         # 7): the same bbox layer serialized as WKT POLYGON text, parsed
@@ -846,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pois_batch_knn": pois_batch_knn,
         "pois_batch_join_salted": pois_batch_join_salted,
         "pois_batch_wkt": pois_batch_wkt,
+        "pois_batch_stats_filtered": pois_batch_stats_filtered,
         "pois_batch_nearest_all": pois_batch_nearest_all,
         "ann_ivf_trained_top10": ann_ivf_trained,
         "ann_lsh_auto_top10": ann_lsh_auto,
@@ -1099,6 +1129,7 @@ def oracle_sql() -> dict[str, str]:
         "pois_batch_join_salted": _sql_batch_join(),
         # WKT-ingested layer must join identically to the driver-built one
         "pois_batch_wkt": _sql_batch_join(),
+        "pois_batch_stats_filtered": _sql_batch_stats_filtered(),
         "pois_batch_nearest_all": _sql_batch_nearest_all(),
         "ann_ivf_trained_top10": _sql_ann_ivf_trained(),
         "ann_lsh_auto_top10": _sql_ann_lsh(_auto_planes_for()),
@@ -1173,6 +1204,33 @@ def _sql_batch_nearest() -> str:
         "SELECT poi_id, geom_id, "
         "row_number() OVER (PARTITION BY poi_id ORDER BY d, geom_id) AS rn "
         "FROM j) t WHERE rn = 1"
+    )
+
+
+def _sql_batch_stats_filtered() -> str:
+    """Filtered batch-stats twin: the circle join AND a per-geometry
+    (geom_id, cat) VALUES allow-list, counts grouped per geometry."""
+    vals = ", ".join(
+        f"(CAST({gid} AS BIGINT), {lon0!r}, {lat0!r}, {r!r})"
+        for gid, lon0, lat0, r in _BATCH_CIRCLES
+    )
+    avals = ", ".join(
+        f"(CAST({gid} AS BIGINT), {c})"
+        for gid, cs in _batch_cat_filters() for c in cs
+    )
+    hav = (
+        f"(2.0 * {D.EARTH_R!r} * asin(least(1.0, sqrt("
+        "pow(sin((radians(p.lat) - radians(g.y0)) / 2.0), 2) "
+        "+ cos(radians(g.y0)) * cos(radians(p.lat)) "
+        "* pow(sin((radians(p.lon) - radians(g.x0)) / 2.0), 2)))))"
+    )
+    return (
+        f"{_POI}, g(geom_id, x0, y0, r) AS (VALUES {vals}), "
+        f"a(geom_id, cat) AS (VALUES {avals}) "
+        f"SELECT g.geom_id, count(*) AS n_pois FROM poi p "
+        f"JOIN g ON {hav} <= g.r "
+        "JOIN a ON a.geom_id = g.geom_id AND a.cat = p.cat "
+        "GROUP BY 1"
     )
 
 

@@ -590,6 +590,31 @@ def batch_join_counts(points: DataFrame, geoms_df: DataFrame, res: int,
     )
 
 
+def batch_filtered_counts(points: DataFrame, geoms_df: DataFrame, res: int,
+                          allowed: DataFrame, cat_col: str = "cat",
+                          per_category: bool = False, **kw) -> DataFrame:
+    """Per-geometry counts where each geometry admits only ITS OWN category
+    set — the reference's category-filtered stats request
+    (reference openpoiservice/server/api/query_builder.py:46-53 builds the
+    category filter per request; this is N such requests in one job).
+
+    allowed: small DataFrame (geom_id, <cat_col>) — the exploded per-
+    geometry allow-list (broadcast side).  A (geom_id, point) pair survives
+    iff the point's category is in that geometry's list; the filter is one
+    broadcast equi-join on (geom_id, cat) composed AFTER the spatial join,
+    so the spatial stage's shape (one shuffle per side, pipelined refine)
+    is untouched.  per_category=True keeps the (geom_id, cat) breakdown —
+    the reference's stats-by-category response shape."""
+    pairs = batch_spatial_join(points, geoms_df, res,
+                               keep_cols=tuple(dict.fromkeys(
+                                   [*kw.pop("keep_cols", ("poi_id",)),
+                                    cat_col])), **kw)
+    kept = pairs.join(F.broadcast(allowed.select("geom_id", cat_col)),
+                      ["geom_id", cat_col])
+    keys = ["geom_id", cat_col] if per_category else ["geom_id"]
+    return kept.groupBy(*keys).agg(F.count("*").alias("n_pois"))
+
+
 def batch_nearest(points: DataFrame, geoms_df: DataFrame, res: int,
                   keep_cols: tuple[str, ...] = ("poi_id",),
                   max_radius: float | None = None,
