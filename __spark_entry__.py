@@ -510,7 +510,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ch = pd.concat([ch[~lt], ch[lt].iloc[:1]], ignore_index=True)
             else:
                 late_hold = late_hold.iloc[0:0]
-            ch.to_parquet(os.path.join(raw, f"c{i}.parquet"), index=False)
+            fp = os.path.join(raw, f"c{i}.parquet")
+            ch.to_parquet(fp, index=False)
+            # pin the micro-batch ORDER: the file source sorts by mtime, and
+            # three sub-ms writes could otherwise tie and reorder the replay
+            os.utime(fp, (1_700_000_000 + i, 1_700_000_000 + i))
         src = (spark.readStream
                .schema("user_id long, event_id long, ts timestamp")
                .option("maxFilesPerTrigger", "1").parquet(raw))
