@@ -447,3 +447,24 @@ def test_knn_local_topk_prune_path():
     key = lambda df: sorted(map(tuple, df[["query_id", "poi_id"]].values))  # noqa: E731
     assert key(a) == key(b)
     assert set(a.groupby("query_id").size()) == {5}
+
+
+def test_batch_join_salting_composes_with_pcell_pruning(spark, fixture_paths):
+    """The two scale features together — skew salting AND footprint
+    partition pruning — must compose without changing one pair."""
+    from collections import Counter
+
+    from openpoiservice_spark import prepare
+
+    pts = prepare.read_prepared(spark, fixture_paths["prepared"]).select(
+        F.col("osm_id").alias("poi_id"), "lon", "lat", "pcell")
+    items = [(0, geo.bbox_spec(8.80, 53.07, 8.82, 53.08), 0.0),
+             (1, geo.GeomSpec("point", [(8.8075, 53.0753)]), 500.0)]
+    gdf = BJ.geoms_to_df(spark, items)
+    base = Counter((r.geom_id, r.poi_id) for r in
+                   BJ.batch_spatial_join(pts, gdf, res=14).collect())
+    pcs = [r[0] for r in pts.select("pcell").distinct().collect()]
+    both = Counter((r.geom_id, r.poi_id) for r in BJ.batch_spatial_join(
+        pts, gdf, res=14, pcell_col="pcell",
+        salt_cells={int(pc): 4 for pc in pcs}).collect())
+    assert both == base and len(base) > 0

@@ -132,3 +132,44 @@ def test_parse_multi_point_and_linestring():
     gj = {"type": "MultiLineString",
           "coordinates": [[[1, 2], [3, 4]], [[5, 6], [7, 8]]]}
     assert [p[0] for p in GT.parse_geojson(gj)] == ["linestring"] * 2
+
+
+def test_wkt_roundtrip_property():
+    """Property: format-then-parse over randomized geometries of every
+    supported kind recovers the exact structure (hypothesis-style sweep
+    with a seeded generator — text formatting is the inverse under test)."""
+    import numpy as np
+
+    rng = np.random.default_rng(97)
+
+    def fmt(c):
+        return f"{c[0]!r} {c[1]!r}"
+
+    for trial in range(200):
+        kind = ["point", "linestring", "polygon", "multipolygon"][trial % 4]
+        def pts(n):
+            return [(float(x), float(y)) for x, y in
+                    np.round(rng.uniform(-179, 179, (n, 2)), 6)]
+        if kind == "point":
+            p = pts(1)
+            wkt = f"POINT ({fmt(p[0])})"
+            want = [("point", p, [])]
+        elif kind == "linestring":
+            p = pts(int(rng.integers(2, 6)))
+            wkt = "LINESTRING (" + ", ".join(map(fmt, p)) + ")"
+            want = [("linestring", p, [])]
+        elif kind == "polygon":
+            ring = pts(int(rng.integers(3, 6)))
+            ring = ring + [ring[0]]
+            hole = pts(3)
+            hole = hole + [hole[0]]
+            wkt = ("POLYGON ((" + ", ".join(map(fmt, ring)) + "), ("
+                   + ", ".join(map(fmt, hole)) + "))")
+            want = [("polygon", ring, [hole])]
+        else:
+            r1 = pts(3); r1 += [r1[0]]
+            r2 = pts(4); r2 += [r2[0]]
+            wkt = ("MULTIPOLYGON (((" + ", ".join(map(fmt, r1)) + ")), (("
+                   + ", ".join(map(fmt, r2)) + ")))")
+            want = [("polygon", r1, []), ("polygon", r2, [])]
+        assert GT.parse_wkt(wkt) == want, wkt
