@@ -433,6 +433,8 @@ def batch_knn(points: DataFrame, queries_df: DataFrame, k: int, res: int,
               pcell_rows: dict[int, int] | None = None,
               max_rounds: int = 6, max_ring: int = 32,
               pcell_col: str | None = None,
+              salt_cells: dict[int, int] | None = None,
+              salt_res: int = cells.PARTITION_RES,
               probe_stats: dict | None = None) -> DataFrame:
     """For EACH of N probe locations, the k nearest points — in one
     distributed job per round, never a per-query driver loop (round-4
@@ -459,7 +461,14 @@ def batch_knn(points: DataFrame, queries_df: DataFrame, k: int, res: int,
          planet-wide fallback terminates at res 0 (fence = +inf).
     The per-round driver work is one boolean/count action over the failing
     set; queries and radii stay DataFrame-resident throughout (no collect
-    of the query set)."""
+    of the query set).
+
+    salt_cells: the same lineage-driven skew map the batch join takes
+    (auto_salt_cells) — a hot urban cell's candidate rows fan out S ways
+    (disk cover rows replicate per salt, points pick a deterministic salt),
+    so the per-partition partial top-k parallelizes inside the hot cell
+    instead of serializing on one reducer.  Applied while the round res is
+    at/finer than salt_res (a coarser re-probe has no salted ancestors)."""
     if k <= 0:
         raise ValueError("k must be positive")
     tie = keep_cols[0]
@@ -496,7 +505,29 @@ def batch_knn(points: DataFrame, queries_df: DataFrame, k: int, res: int,
                 pts.filter(F.lit(False))
         pts = pts.withColumn(
             "qcell", cell_expr(F.col(lon_col), F.col(lat_col), res_r))
-        joined = pts.join(covers, "qcell").drop("qcell")
+        if salt_cells and res_r >= salt_res:
+            entries = []
+            for c, sv in sorted(salt_cells.items()):
+                entries.extend([F.lit(int(c)), F.lit(int(sv))])
+            salt_map = F.create_map(*entries)
+            nsalt = F.coalesce(
+                F.element_at(salt_map,
+                             cell_parent_expr(F.col("qcell"), res_r, salt_res)),
+                F.lit(1))
+            pts = pts.withColumn(
+                "salt",
+                F.pmod(F.xxhash64(F.col(lon_col), F.col(lat_col)), nsalt))
+            covers = covers.withColumn("qsalt", F.coalesce(
+                F.element_at(salt_map,
+                             cell_parent_expr(F.col("qcell"), res_r, salt_res)),
+                F.lit(1)))
+            covers = covers.withColumn(
+                "salt",
+                F.explode(F.sequence(F.lit(0).cast("long"),
+                                     F.col("qsalt") - 1))).drop("qsalt")
+            joined = pts.join(covers, ["qcell", "salt"]).drop("qcell", "salt")
+        else:
+            joined = pts.join(covers, "qcell").drop("qcell")
         local = joined.mapInPandas(
             _knn_local_topk_fn(k, list(keep_cols), lon_col, lat_col),
             schema=T.StructType(

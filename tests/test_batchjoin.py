@@ -468,3 +468,23 @@ def test_batch_join_salting_composes_with_pcell_pruning(spark, fixture_paths):
         pts, gdf, res=14, pcell_col="pcell",
         salt_cells={int(pc): 4 for pc in pcs}).collect())
     assert both == base and len(base) > 0
+
+
+def test_batch_knn_salting_invariance(spark, view):
+    """Skew-salting the batch kNN fans hot cells' candidate work S ways
+    without changing one neighbour."""
+    from collections import Counter
+
+    queries = [(i, 8.0 + 0.3 * i, 52.5 + 0.05 * i) for i in range(10)]
+    base = Counter((r.query_id, r.poi_id) for r in
+                   BJ.batch_knn(view, _qdf(spark, queries), k=8, res=12,
+                                r0=2).collect())
+    pcs = [r[0] for r in view.select(
+        BJ.cell_expr(F.col("lon"), F.col("lat"), cells.PARTITION_RES)
+    ).distinct().collect()]
+    salted = Counter((r.query_id, r.poi_id) for r in
+                     BJ.batch_knn(view, _qdf(spark, queries), k=8, res=12,
+                                  r0=2,
+                                  salt_cells={int(pc): 6 for pc in pcs}
+                                  ).collect())
+    assert salted == base and sum(base.values()) == 80
