@@ -126,6 +126,9 @@ def main(argv=None):
     sbk.add_argument("--no-pcell-prune", action="store_true",
                      help="skip the probe-footprint partition pruning "
                           "(planet-spread probe sets)")
+    sbk.add_argument("--salt-threshold", type=int, default=0,
+                     help="salt pcells whose lineage row count exceeds this "
+                          "(0 = no salting)")
 
     sf = sub.add_parser("frames", help="sample video/image frames (AVI real)")
     sf.add_argument("--images", required=True, help="payload parquet path")
@@ -300,11 +303,14 @@ def main(argv=None):
             F.col("osm_id").alias("poi_id"), "lon", "lat", "pcell")
         qdf = spark.read.parquet(args.queries)
         stats = {}
+        pstats = prepare.load_pcell_stats(spark, args.prepared)
+        salt = (batchjoin.auto_salt_cells(pstats, args.salt_threshold)
+                if args.salt_threshold > 0 else None)
         out = batchjoin.batch_knn(
             pts, qdf, k=args.k, res=args.res, keep_cols=("poi_id",),
-            pcell_rows=prepare.load_pcell_stats(spark, args.prepared),
+            pcell_rows=pstats,
             pcell_col=None if args.no_pcell_prune else "pcell",
-            probe_stats=stats)
+            salt_cells=salt, probe_stats=stats)
         out.write.mode("overwrite").parquet(args.out)
         print(json.dumps({
             "rows": spark.read.parquet(args.out).count(),
