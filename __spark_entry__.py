@@ -729,6 +729,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.coalesce(F.col("nearest_geom"), F.lit(-1)).cast("long")
             .alias("nearest_geom"))
 
+    def pois_batch_knn_salted(spark, sf):
+        # the SALTED batch-kNN path under the oracle (same discipline the
+        # round-4 verdict demanded for the salted batch join): real-density
+        # salt map, non-empty asserted, output hash-matching the unsalted
+        # twin.
+        view = D.spark_poi_view(spark, sf)
+        counts = {
+            int(r.pc): int(r.n)
+            for r in view.groupBy(
+                F.expr(D.sql_cell("lon", "lat", C.PARTITION_RES)).alias("pc")
+            ).agg(F.count("*").alias("n")).collect()
+        }
+        salt = BJ.auto_salt_cells(counts, threshold=max(counts.values()) // 2)
+        if not salt:
+            raise RuntimeError("salted batch-kNN gate: empty salt map")
+        qdf = spark.createDataFrame(
+            [(int(q), float(x), float(y)) for q, x, y in _BATCH_KNN_QUERIES],
+            BJ.KNN_QUERY_SCHEMA)
+        return BJ.batch_knn(view, qdf, k=10, res=_GEO_RES, r0=2,
+                            keep_cols=("poi_id",),
+                            salt_cells=salt, salt_res=C.PARTITION_RES
+                            ).select("query_id", "poi_id")
+
     def pois_batch_join_salted(spark, sf):
         # round-4 verdict item 2: the SKEW-SALTED code path under the
         # oracle.  The salt map derives from the view's real per-pcell
@@ -880,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pois_batch_join_salted": pois_batch_join_salted,
         "pois_batch_wkt": pois_batch_wkt,
         "pois_batch_stats_filtered": pois_batch_stats_filtered,
+        "pois_batch_knn_salted": pois_batch_knn_salted,
         "pois_batch_nearest_all": pois_batch_nearest_all,
         "ann_ivf_trained_top10": ann_ivf_trained,
         "ann_lsh_auto_top10": ann_lsh_auto,
@@ -1134,6 +1158,8 @@ def oracle_sql() -> dict[str, str]:
         # WKT-ingested layer must join identically to the driver-built one
         "pois_batch_wkt": _sql_batch_join(),
         "pois_batch_stats_filtered": _sql_batch_stats_filtered(),
+        # salting must not change one neighbour — same twin as the unsalted
+        "pois_batch_knn_salted": _sql_batch_knn(),
         "pois_batch_nearest_all": _sql_batch_nearest_all(),
         "ann_ivf_trained_top10": _sql_ann_ivf_trained(),
         "ann_lsh_auto_top10": _sql_ann_lsh(_auto_planes_for()),
