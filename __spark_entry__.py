@@ -607,6 +607,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return TX.curate(_docs(spark, sf), min_quality=0.5, langs=("en",),
                          max_bucket=3)
 
+    def train_test_split(spark, sf):
+        # deterministic hash split: reproducible train/test assignment with
+        # no sampling state — pure h32(salt||id) % 100 arithmetic, the same
+        # value in both engines
+        return TX.deterministic_split(_docs(spark, sf), test_pct=20)
+
+    def split_by_content(spark, sf):
+        # the LEAKAGE-SAFE variant: the hash keys on the text, so exact
+        # duplicates land on the same side of the split by construction
+        return TX.deterministic_split(_docs(spark, sf), test_pct=20,
+                                      by_content=True)
+
+    def near_dup_components(spark, sf):
+        # connected components of the near-dup graph (iterative min-label
+        # propagation; localCheckpoint per round) vs a DuckDB RECURSIVE-CTE
+        # transitive-closure twin — cluster-correct dedup/split keys
+        return TX.near_dup_components(_docs(spark, sf))
+
     def ann_brute(spark, sf):
         return ANN.brute_topk(_emb(spark, sf), _QVEC, 10)
 
@@ -888,6 +906,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": fingerprint,
         "curate_keep": curate,
         "curate_capped": curate_capped,
+        "train_test_split": train_test_split,
+        "split_by_content": split_by_content,
+        "near_dup_components": near_dup_components,
         "ann_brute_top10": ann_brute,
         "ann_lsh_top10": ann_lsh,
         "ann_pairs": ann_pairs,
@@ -1134,6 +1155,9 @@ def oracle_sql() -> dict[str, str]:
             "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp FROM documents"
         ),
         "curate_keep": _sql_curate(),
+        "train_test_split": _sql_split("CAST(doc_id AS VARCHAR)"),
+        "split_by_content": _sql_split("text"),
+        "near_dup_components": _sql_components(),
         "lsh_pairs_capped": (
             f"WITH {_sql_lsh_pairs_cte(3)} SELECT doc_a, doc_b FROM pairs"
         ),
@@ -1378,6 +1402,32 @@ def _sql_curate(max_bucket: int | None = None) -> str:
         "JOIN q ON q.doc_id = d.doc_id "
         "JOIN l ON l.doc_id = d.doc_id "
         "WHERE losers.doc_id IS NULL AND q.quality >= 0.5 AND l.pred_lang IN ('en')"
+    )
+
+
+def _sql_split(key_expr: str, test_pct: int = 20, salt: str = "split:v1") -> str:
+    """Deterministic-split twin: same h32(salt || key) % 100 bucket."""
+    h = D.sql_h32(f"concat('{salt}', {key_expr})")
+    return (
+        f"SELECT doc_id, CASE WHEN ({h}) % 100 < {test_pct} "
+        "THEN 'test' ELSE 'train' END AS split FROM documents"
+    )
+
+
+def _sql_components() -> str:
+    """Near-dup connected-components twin: transitive closure of the
+    symmetrized jaccard-pair edges via a RECURSIVE CTE, component = min of
+    self and everything reachable."""
+    return (
+        "WITH RECURSIVE jp AS (SELECT doc_a, doc_b FROM "
+        f"({_sql_near_dup()}) nd), "
+        "e(a, b) AS (SELECT doc_a, doc_b FROM jp "
+        "UNION SELECT doc_b, doc_a FROM jp), "
+        "reach(s, d) AS (SELECT a, b FROM e "
+        "UNION SELECT r.s, e.b FROM reach r JOIN e ON e.a = r.d) "
+        "SELECT doc_id, least(doc_id, coalesce("
+        "(SELECT min(d) FROM reach WHERE s = doc_id), doc_id)) AS component "
+        "FROM documents"
     )
 
 

@@ -177,6 +177,80 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.2, n: int = 5,
     return out
 
 
+def deterministic_split(docs: DataFrame, test_pct: int = 20,
+                        key_col: str = "doc_id", by_content: bool = False,
+                        salt: str = "split:v1") -> DataFrame:
+    """Deterministic train/test assignment — (key, split) with split =
+    'test' iff h32(salt || key) % 100 < test_pct.  Pure hash arithmetic:
+    reproducible across runs/engines (the DuckDB twin computes the same
+    md5-derived value), no sampling state, no shuffle beyond the scan.
+
+    by_content=True keys the hash on the DOCUMENT TEXT instead of the id —
+    the leakage guard for training pipelines: exact duplicates then land on
+    the SAME side of the split by construction (one document's copies in
+    train AND test is evaluation leakage), whatever their ids are.
+    Near-duplicate leakage needs the component structure —
+    `near_dup_components` labels give a split key that keeps whole near-dup
+    clusters together: split on the component id."""
+    if not 0 <= test_pct <= 100:
+        raise ValueError("test_pct must be in [0, 100]")
+    key = F.col("text") if by_content else F.col(key_col).cast("string")
+    bucket = F.pmod(_h32(F.concat(F.lit(salt), key)), F.lit(100))
+    return docs.select(
+        key_col,
+        F.when(bucket < test_pct, F.lit("test")).otherwise(F.lit("train"))
+        .alias("split"))
+
+
+def near_dup_components(docs: DataFrame, threshold: float = 0.2, n: int = 5,
+                        k: int = 8, bands: int = 2,
+                        max_bucket: int | None = None,
+                        max_iter: int = 25) -> DataFrame:
+    """Connected components of the near-duplicate graph: every document
+    labelled with the SMALLEST doc_id reachable through jaccard >=
+    threshold edges — (doc_id, component).  Pairwise near-dup lists
+    under- and over-drop (A~B, B~C but A!~C still form one cluster);
+    cluster-correct curation keeps exactly one doc per component, and a
+    leakage-safe train/test split keys on the component id so no cluster
+    straddles the boundary.
+
+    Algorithm: iterative min-label propagation over the (symmetrized) edge
+    list — each round, every node takes the min of its own and its
+    neighbours' labels; converges in <= graph-diameter rounds (near-dup
+    clusters are shallow; `max_iter` is a guard, convergence is checked).
+    Scale shape: per round ONE equi-join edges x labels + ONE groupBy min —
+    the standard distributed CC recipe; each round's result is
+    localCheckpoint()ed so the plan does not accumulate `max_iter` nested
+    joins (lineage blowup is the classic failure of iterative DataFrame
+    algorithms).  For graphs needing many rounds at extreme scale, switch
+    to large-star/small-star (same join primitives, O(log n) rounds)."""
+    edges = ngram_jaccard_pairs(docs, threshold, n, k, bands, max_bucket) \
+        .select("doc_a", "doc_b")
+    sym = edges.union(edges.select(F.col("doc_b").alias("doc_a"),
+                                   F.col("doc_a").alias("doc_b")))
+    sym = sym.localCheckpoint()
+    labels = docs.select(
+        "doc_id", F.col("doc_id").alias("component")).localCheckpoint()
+    for _ in range(max_iter):
+        prop = (
+            sym.join(labels, sym.doc_a == labels.doc_id)
+            .select(F.col("doc_b").alias("doc_id"), "component")
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("doc_id").agg(F.min("component").alias("component"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "old"),
+                            "doc_id")
+            .filter(F.col("component") != F.col("old")).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def curate(docs: DataFrame, min_quality: float = 0.5, langs: tuple = ("en",),
            jaccard_threshold: float = 0.2,
            max_bucket: int | None = None) -> DataFrame:

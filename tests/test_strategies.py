@@ -318,3 +318,58 @@ def test_minhash_xxhash64_production_path(spark):
     plan = TX.minhash_signatures(docs, hash_fn="xxhash64") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "xxhash64" in plan and "md5" not in plan
+
+
+def test_deterministic_split_and_leakage_guard(spark):
+    """Split assignment is a pure function of the key (stable across runs
+    and engines), fractions land near the target, and by_content puts exact
+    duplicates on the SAME side whatever their ids are."""
+    from openpoiservice_spark.operators import text as TX
+
+    rows = [(i, f"document body {i % 40}") for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r.doc_id: r.split
+         for r in TX.deterministic_split(docs, 20).collect()}
+    b = {r.doc_id: r.split
+         for r in TX.deterministic_split(docs, 20).collect()}
+    assert a == b  # deterministic
+    frac = sum(1 for v in a.values() if v == "test") / len(a)
+    assert 0.1 < frac < 0.3  # near the 20% target (hash variance)
+    by_text = TX.deterministic_split(docs, 20, by_content=True).collect()
+    side = {}
+    text_of = dict(rows)
+    for r in by_text:
+        t = text_of[r.doc_id]
+        assert side.setdefault(t, r.split) == r.split  # copies co-travel
+    with pytest.raises(ValueError):
+        TX.deterministic_split(docs, 101)
+
+
+def test_near_dup_components_transitivity(spark):
+    """A ~ B and B ~ C must land A, B, C in ONE component even when A !~ C
+    directly — the case pairwise near-dup handling gets wrong; unrelated
+    docs stay singletons labelled by themselves."""
+    from openpoiservice_spark.operators import text as TX
+
+    # sliding word windows: 1-2 and 2-3 overlap by half, 1-3 share nothing
+    # (fixed texts => minhash signatures, band collisions, and jaccards are
+    # all deterministic; verified: J(1,2)=0.252, J(2,3)=0.301, no (1,3))
+    a = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+         "kilo lima t1") * 2
+    b = ("golf hotel india juliet kilo lima mike november oscar papa "
+         "quebec romeo t1") * 2
+    c = ("mike november oscar papa quebec romeo sierra tango x0t1 x1t1 "
+         "x2t1 x3t1 t1") * 2
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c),
+         (9, "completely unrelated text about spark batch engines ok")],
+        "doc_id long, text string")
+    pairs = {(r.doc_a, r.doc_b)
+             for r in TX.ngram_jaccard_pairs(docs, 0.15, bands=4).collect()}
+    assert (1, 2) in pairs and (2, 3) in pairs  # the chain premise holds
+    assert (1, 3) not in pairs  # ends are NOT direct near-dups
+    comp = {r.doc_id: r.component
+            for r in TX.near_dup_components(docs, threshold=0.15,
+                                            bands=4).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1  # transitivity linked them
+    assert comp[9] == 9
