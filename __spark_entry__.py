@@ -607,6 +607,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return TX.curate(_docs(spark, sf), min_quality=0.5, langs=("en",),
                          max_bucket=3)
 
+    def curate_clusters(spark, sf):
+        # cluster-correct curation: exactly ONE survivor per near-dup
+        # connected component (vs the default pairwise loser-drop) — the
+        # policy a leakage-conscious 100 TB pipeline wants
+        return TX.curate(_docs(spark, sf), min_quality=0.5, langs=("en",),
+                         clusters=True)
+
     def train_test_split(spark, sf):
         # deterministic hash split: reproducible train/test assignment with
         # no sampling state — pure h32(salt||id) % 100 arithmetic, the same
@@ -909,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_test_split": train_test_split,
         "split_by_content": split_by_content,
         "near_dup_components": near_dup_components,
+        "curate_clusters": curate_clusters,
         "ann_brute_top10": ann_brute,
         "ann_lsh_top10": ann_lsh,
         "ann_pairs": ann_pairs,
@@ -1158,6 +1166,7 @@ def oracle_sql() -> dict[str, str]:
         "train_test_split": _sql_split("CAST(doc_id AS VARCHAR)"),
         "split_by_content": _sql_split("text"),
         "near_dup_components": _sql_components(),
+        "curate_clusters": _sql_curate_clusters(),
         "lsh_pairs_capped": (
             f"WITH {_sql_lsh_pairs_cte(3)} SELECT doc_a, doc_b FROM pairs"
         ),
@@ -1428,6 +1437,27 @@ def _sql_components() -> str:
         "SELECT doc_id, least(doc_id, coalesce("
         "(SELECT min(d) FROM reach WHERE s = doc_id), doc_id)) AS component "
         "FROM documents"
+    )
+
+
+def _sql_curate_clusters() -> str:
+    """Cluster-correct curation twin: losers are every doc whose near-dup
+    COMPONENT label differs from its own id (one survivor per component),
+    composed with the same exact-dedup/quality/language gates."""
+    return (
+        "WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents "
+        "GROUP BY md5(text)), "
+        f"losers AS (SELECT doc_id FROM ({_sql_components()}) c "
+        "WHERE component <> doc_id), "
+        f"q AS (SELECT doc_id, quality FROM ({_sql_quality()}) qq), "
+        f"l AS (SELECT doc_id, pred_lang FROM ({_sql_lang_id()}) ll) "
+        "SELECT d.doc_id, l.pred_lang, q.quality FROM documents d "
+        "JOIN keep ON keep.doc_id = d.doc_id "
+        "LEFT JOIN losers ON losers.doc_id = d.doc_id "
+        "JOIN q ON q.doc_id = d.doc_id "
+        "JOIN l ON l.doc_id = d.doc_id "
+        "WHERE losers.doc_id IS NULL AND q.quality >= 0.5 "
+        "AND l.pred_lang IN ('en')"
     )
 
 

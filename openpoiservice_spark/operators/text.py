@@ -253,22 +253,38 @@ def near_dup_components(docs: DataFrame, threshold: float = 0.2, n: int = 5,
 
 def curate(docs: DataFrame, min_quality: float = 0.5, langs: tuple = ("en",),
            jaccard_threshold: float = 0.2,
-           max_bucket: int | None = None) -> DataFrame:
+           max_bucket: int | None = None, clusters: bool = False) -> DataFrame:
     """Training-data curation pipeline — the composition a 100 TB ingest
     actually runs: keep docs that are (a) the exact-dedup survivor of their
-    text hash, (b) not the dropped side of a near-dup pair (the larger
-    doc_id of each Jaccard pair is dropped, deterministic), (c) above the
-    quality floor, (d) in an accepted language.
+    text hash, (b) not a near-duplicate loser, (c) above the quality floor,
+    (d) in an accepted language.
 
-    All four gates are column joins/filters over the operators above — one
+    Near-dup semantics (b) has two modes:
+      * clusters=False (default): the larger doc_id of each Jaccard PAIR is
+        dropped — deterministic and one join, but pairwise: in a chain
+        A~B~C it drops B and C (keeping 1 of 3, correct) yet in a star
+        A~B, A~C with B~C unverified it may keep extra members whose only
+        links were to dropped docs.
+      * clusters=True: keep exactly the SMALLEST doc_id of each connected
+        COMPONENT of the near-dup graph (`near_dup_components`) — the
+        cluster-correct policy (one survivor per transitive cluster, never
+        more, never fewer).  Costs the iterative label propagation.
+
+    All gates are column joins/filters over the operators above — one
     pipeline, no collect, every stage bucketed or broadcastable.  Returns
     (doc_id, pred_lang, quality) for the surviving docs.
     """
     keep_exact = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
-    near_losers = (
-        ngram_jaccard_pairs(docs, jaccard_threshold, max_bucket=max_bucket)
-        .select(F.col("doc_b").alias("doc_id")).distinct()
-    )
+    if clusters:
+        comp = near_dup_components(docs, jaccard_threshold,
+                                   max_bucket=max_bucket)
+        near_losers = comp.filter(
+            F.col("component") != F.col("doc_id")).select("doc_id")
+    else:
+        near_losers = (
+            ngram_jaccard_pairs(docs, jaccard_threshold, max_bucket=max_bucket)
+            .select(F.col("doc_b").alias("doc_id")).distinct()
+        )
     q = quality_score(docs).select("doc_id", "quality")
     lang = lang_id(docs).select("doc_id", "pred_lang")
     return (
