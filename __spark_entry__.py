@@ -607,6 +607,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return TX.curate(_docs(spark, sf), min_quality=0.5, langs=("en",),
                          max_bucket=3)
 
+    def ann_components(spark, sf):
+        # embedding near-dup clusters: the shared connected-components core
+        # over cosine_pairs edges (graph.connected_components) vs the same
+        # RECURSIVE-CTE closure twin shape as the text side
+        return ANN.cosine_components(_emb(spark, sf), 0.35, _PLANES)
+
     def curate_clusters(spark, sf):
         # cluster-correct curation: exactly ONE survivor per near-dup
         # connected component (vs the default pairwise loser-drop) — the
@@ -917,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_by_content": split_by_content,
         "near_dup_components": near_dup_components,
         "curate_clusters": curate_clusters,
+        "ann_components": ann_components,
         "ann_brute_top10": ann_brute,
         "ann_lsh_top10": ann_lsh,
         "ann_pairs": ann_pairs,
@@ -1167,6 +1174,7 @@ def oracle_sql() -> dict[str, str]:
         "split_by_content": _sql_split("text"),
         "near_dup_components": _sql_components(),
         "curate_clusters": _sql_curate_clusters(),
+        "ann_components": _sql_ann_components(),
         "lsh_pairs_capped": (
             f"WITH {_sql_lsh_pairs_cte(3)} SELECT doc_a, doc_b FROM pairs"
         ),
@@ -1437,6 +1445,22 @@ def _sql_components() -> str:
         "SELECT doc_id, least(doc_id, coalesce("
         "(SELECT min(d) FROM reach WHERE s = doc_id), doc_id)) AS component "
         "FROM documents"
+    )
+
+
+def _sql_ann_components() -> str:
+    """Embedding-component twin: transitive closure over the ann_pairs
+    edge set (cosine >= 0.35 bucket-verified pairs)."""
+    return (
+        "WITH RECURSIVE jp AS (SELECT vec_a, vec_b FROM "
+        f"({_sql_ann_pairs()}) nd), "
+        "e(a, b) AS (SELECT vec_a, vec_b FROM jp "
+        "UNION SELECT vec_b, vec_a FROM jp), "
+        "reach(s, d) AS (SELECT a, b FROM e "
+        "UNION SELECT r.s, e.b FROM reach r JOIN e ON e.a = r.d) "
+        "SELECT vec_id, least(vec_id, coalesce("
+        "(SELECT min(d) FROM reach WHERE s = vec_id), vec_id)) AS component "
+        "FROM embeddings"
     )
 
 

@@ -247,6 +247,26 @@ def ivf_topk_table(spark, path: str, qvec, k: int = 10,
     )
 
 
+def cosine_components(emb: DataFrame, threshold: float = 0.9,
+                      planes: np.ndarray | None = None,
+                      max_bucket: int | None = None,
+                      max_iter: int = 25) -> DataFrame:
+    """Connected components of the EMBEDDING near-dup graph — (vec_id,
+    component), component = smallest vec_id transitively reachable through
+    cosine >= threshold pairs (`cosine_pairs` edges).  The cluster-correct
+    grouping for embedding dedup: A~B and B~C belong together even when
+    A!~C directly — keep min(vec) per component, or key a train/test split
+    on the component so no near-dup cluster straddles the boundary (same
+    policy the text side implements with near_dup_components)."""
+    from . import graph
+
+    edges = cosine_pairs(emb, threshold, planes, max_bucket) \
+        .select("vec_a", "vec_b")
+    return graph.connected_components(
+        emb.select("vec_id"), edges, node_col="vec_id",
+        src="vec_a", dst="vec_b", max_iter=max_iter)
+
+
 def bucket_stats(emb: DataFrame, planes: np.ndarray | None = None) -> DataFrame:
     """(bucket, n_vecs) histogram — pair with `max_bucket` to route
     degenerate buckets (e.g. all-zero embeddings) off the quadratic path."""

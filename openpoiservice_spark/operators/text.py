@@ -214,41 +214,17 @@ def near_dup_components(docs: DataFrame, threshold: float = 0.2, n: int = 5,
     leakage-safe train/test split keys on the component id so no cluster
     straddles the boundary.
 
-    Algorithm: iterative min-label propagation over the (symmetrized) edge
-    list — each round, every node takes the min of its own and its
-    neighbours' labels; converges in <= graph-diameter rounds (near-dup
-    clusters are shallow; `max_iter` is a guard, convergence is checked).
-    Scale shape: per round ONE equi-join edges x labels + ONE groupBy min —
-    the standard distributed CC recipe; each round's result is
-    localCheckpoint()ed so the plan does not accumulate `max_iter` nested
-    joins (lineage blowup is the classic failure of iterative DataFrame
-    algorithms).  For graphs needing many rounds at extreme scale, switch
-    to large-star/small-star (same join primitives, O(log n) rounds)."""
+    Algorithm: `operators.graph.connected_components` — iterative min-label
+    propagation (one equi-join + one groupBy min per round, convergence
+    checked, localCheckpoint per round against lineage blowup; large-star/
+    small-star documented there for extreme diameters)."""
+    from . import graph
+
     edges = ngram_jaccard_pairs(docs, threshold, n, k, bands, max_bucket) \
         .select("doc_a", "doc_b")
-    sym = edges.union(edges.select(F.col("doc_b").alias("doc_a"),
-                                   F.col("doc_a").alias("doc_b")))
-    sym = sym.localCheckpoint()
-    labels = docs.select(
-        "doc_id", F.col("doc_id").alias("component")).localCheckpoint()
-    for _ in range(max_iter):
-        prop = (
-            sym.join(labels, sym.doc_a == labels.doc_id)
-            .select(F.col("doc_b").alias("doc_id"), "component")
-        )
-        new_labels = (
-            labels.unionByName(prop)
-            .groupBy("doc_id").agg(F.min("component").alias("component"))
-        ).localCheckpoint()
-        changed = (
-            new_labels.join(labels.withColumnRenamed("component", "old"),
-                            "doc_id")
-            .filter(F.col("component") != F.col("old")).count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels
+    return graph.connected_components(
+        docs.select("doc_id"), edges, node_col="doc_id",
+        src="doc_a", dst="doc_b", max_iter=max_iter)
 
 
 def curate(docs: DataFrame, min_quality: float = 0.5, langs: tuple = ("en",),
