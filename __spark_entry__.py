@@ -882,31 +882,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return IM.hamming_pairs(view, col="fp", key="poi_id", max_dist=3,
                                 bands=4, max_bucket=4)
 
+    # Registration order IS the driver's CORRECTNESS sampling order: the
+    # driver records the FIRST 50 entries, so the newest / least-proven gates
+    # come first and the long-stable round-1 geo gates fill the tail (round-5
+    # verdict item 1 — 5 rounds of green driver rows stand behind the tail).
     return {
-        "pois_bbox": pois_bbox,
-        "pois_radius": pois_radius,
-        "pois_polygon": pois_polygon,
-        "pois_corridor": pois_corridor,
-        "pois_polygon_bbox": pois_polygon_bbox,
-        "pois_multipolygon": pois_multipolygon,
-        "pois_polygon_holes": pois_polygon_holes,
-        "pois_sorted_limit": pois_sorted_limit,
-        "pois_sortby_category": pois_sortby_category,
-        "pois_category_restrict": pois_category_restrict,
-        "pois_category_new_leaf": pois_category_new_leaf,
-        "knn_100": knn_100,
-        "cells_hist_r12": cells_hist,
-        "tiles_z14": tiles_z14,
-        "tile_pixels_z14": tile_pixels,
-        "stats_category_bbox": stats_category,
-        "way_centroid": way_centroid,
-        "segment_priority_rollup": seg_rollup,
-        "pricing_summary": pricing,
-        "top3_per_nation": top3,
-        "events_hourly": events_hourly,
-        "events_sessions": events_sessions,
+        # -- round 6 (newest) -------------------------------------------
+        # (new gates are inserted here as they land)
+        # -- round 5 ----------------------------------------------------
+        "pois_batch_knn": pois_batch_knn,
+        "pois_batch_knn_salted": pois_batch_knn_salted,
+        "pois_batch_nearest": pois_batch_nearest,
+        "pois_batch_nearest_all": pois_batch_nearest_all,
+        "pois_batch_corridors": pois_batch_corridors,
+        "pois_batch_join_salted": pois_batch_join_salted,
+        "pois_batch_wkt": pois_batch_wkt,
+        "pois_batch_stats_filtered": pois_batch_stats_filtered,
+        "ann_ivf_trained_top10": ann_ivf_trained,
+        "ann_lsh_auto_top10": ann_lsh_auto,
+        "ann_pairs_auto": ann_pairs_auto,
+        # -- round 4 ----------------------------------------------------
+        "pois_batch_join": pois_batch_join,
+        "pois_batch_counts": pois_batch_counts,
+        "pois_batch_polygons": pois_batch_polygons,
+        "near_dup_components": near_dup_components,
+        "curate_clusters": curate_clusters,
+        "ann_components": ann_components,
         "events_sessions_update": events_sessions_update,
-        "tag_inheritance": tag_inheritance,
+        "split_by_content": split_by_content,
+        # -- rounds 2-3 -------------------------------------------------
+        "ann_brute_top10": ann_brute,
+        "ann_lsh_top10": ann_lsh,
+        "ann_ivf_top10": ann_ivf,
+        "ann_pairs": ann_pairs,
+        "image_phash_pairs": image_phash_pairs,
+        "image_phash_capped": image_phash_capped,
         "dedup_exact": dedup_exact,
         "minhash_signatures": minhash_sigs,
         "lsh_candidate_pairs": lsh_pairs,
@@ -920,30 +930,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_keep": curate,
         "curate_capped": curate_capped,
         "train_test_split": train_test_split,
-        "split_by_content": split_by_content,
-        "near_dup_components": near_dup_components,
-        "curate_clusters": curate_clusters,
-        "ann_components": ann_components,
-        "ann_brute_top10": ann_brute,
-        "ann_lsh_top10": ann_lsh,
-        "ann_pairs": ann_pairs,
-        "ann_ivf_top10": ann_ivf,
-        "image_phash_pairs": image_phash_pairs,
-        "image_phash_capped": image_phash_capped,
-        "pois_batch_join": pois_batch_join,
-        "pois_batch_counts": pois_batch_counts,
-        "pois_batch_polygons": pois_batch_polygons,
-        "pois_batch_corridors": pois_batch_corridors,
-        "pois_batch_nearest": pois_batch_nearest,
-        "pois_batch_knn": pois_batch_knn,
-        "pois_batch_join_salted": pois_batch_join_salted,
-        "pois_batch_wkt": pois_batch_wkt,
-        "pois_batch_stats_filtered": pois_batch_stats_filtered,
-        "pois_batch_knn_salted": pois_batch_knn_salted,
-        "pois_batch_nearest_all": pois_batch_nearest_all,
-        "ann_ivf_trained_top10": ann_ivf_trained,
-        "ann_lsh_auto_top10": ann_lsh_auto,
-        "ann_pairs_auto": ann_pairs_auto,
+        "events_sessions": events_sessions,
+        "tag_inheritance": tag_inheritance,
+        "way_centroid": way_centroid,
+        "segment_priority_rollup": seg_rollup,
+        "knn_100": knn_100,
+        "cells_hist_r12": cells_hist,
+        "tiles_z14": tiles_z14,
+        "tile_pixels_z14": tile_pixels,
+        "stats_category_bbox": stats_category,
+        "pricing_summary": pricing,
+        "top3_per_nation": top3,
+        "events_hourly": events_hourly,
+        # -- round 1 (tail: 5 rounds of green driver history) -----------
+        "pois_bbox": pois_bbox,
+        "pois_radius": pois_radius,
+        "pois_polygon": pois_polygon,
+        "pois_corridor": pois_corridor,
+        "pois_polygon_bbox": pois_polygon_bbox,
+        "pois_multipolygon": pois_multipolygon,
+        "pois_polygon_holes": pois_polygon_holes,
+        "pois_sorted_limit": pois_sorted_limit,
+        "pois_sortby_category": pois_sortby_category,
+        "pois_category_restrict": pois_category_restrict,
+        "pois_category_new_leaf": pois_category_new_leaf,
     }
 
 
