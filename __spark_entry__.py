@@ -665,6 +665,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                       n_rows=_emb_rows(sf))
         return ANN.cosine_pairs(emb, 0.35, planes)
 
+    def _batch_queries(emb, modulo: int):
+        # query vectors drawn FROM the table (every vec_id % m == 0 row) so
+        # the DuckDB twin sees identical inputs with zero inlined literals
+        return emb.filter(F.col("vec_id") % modulo == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"))
+
+    def ann_batch_brute(spark, sf):
+        # round-5 verdict item 2 baseline: N query vectors x exact top-k in
+        # ONE job — broadcast query block, per-partition partial top-k in an
+        # Arrow pass, one row_number window (never a per-query plan; the
+        # reference's ORDER BY distance + LIMIT path,
+        # reference openpoiservice/server/api/query_builder.py:84-103, is
+        # the one-plan-per-request shape this batches)
+        emb = _emb(spark, sf)
+        return ANN.batch_topk_brute(emb, _batch_queries(emb, 7), 10)
+
+    def ann_batch(spark, sf):
+        # the scale path: LSH-bucket both sides, explode each query into
+        # its Hamming<=1 probe buckets, ONE equi-join on the int bucket —
+        # under-filled queries (the 8-plane buckets are sparse at 500 rows)
+        # re-answered exactly via the brute fence, so BOTH branches run
+        # under the oracle
+        emb = _emb(spark, sf)
+        return ANN.batch_topk(emb, _batch_queries(emb, 3), 10, _PLANES)
+
     def pois_batch_join(spark, sf):
         # J7 BATCH mode (round-3 verdict item 1): N query geometries joined
         # against the POI table in ONE job — distributed cover explode,
@@ -888,7 +914,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verdict item 1 — 5 rounds of green driver rows stand behind the tail).
     return {
         # -- round 6 (newest) -------------------------------------------
-        # (new gates are inserted here as they land)
+        "ann_batch_top10": ann_batch,
+        "ann_batch_brute_top10": ann_batch_brute,
         # -- round 5 ----------------------------------------------------
         "pois_batch_knn": pois_batch_knn,
         "pois_batch_knn_salted": pois_batch_knn_salted,
@@ -1215,6 +1242,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_trained_top10": _sql_ann_ivf_trained(),
         "ann_lsh_auto_top10": _sql_ann_lsh(_auto_planes_for()),
         "ann_pairs_auto": _sql_ann_pairs(_auto_planes_for()),
+        "ann_batch_top10": _sql_ann_batch(),
+        "ann_batch_brute_top10": _sql_ann_batch_brute(),
     }
     # the update-mode streaming gate's upsert-applied final state must equal
     # the BATCH sessionization — same twin by construction
@@ -1610,6 +1639,69 @@ def _sql_ann_ivf_trained() -> str:
     return (
         f"SELECT vec_id, round({dot} / ({norm} * CAST({qn!r} AS DOUBLE)), 6) "
         "AS cosine FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10"
+    )
+
+
+def _sql_dot_cc(a: str, b: str, dim: int = 64) -> str:
+    """Column-column dot product, left-folded in the same term order as the
+    engine's zip_with/aggregate fold."""
+    return "(" + " + ".join(
+        f"CAST({a}[{i + 1}] AS DOUBLE) * CAST({b}[{i + 1}] AS DOUBLE)"
+        for i in range(dim)
+    ) + ")"
+
+
+def _sql_cosine_cc(a: str, b: str) -> str:
+    return (f"round({_sql_dot_cc(a, b)} / "
+            f"({_sql_norm(a)} * {_sql_norm(b)}), 6)")
+
+
+def _sql_ann_batch_brute(modulo: int = 7, k: int = 10) -> str:
+    """Exact batch top-k twin: query subset x table cross join, per-query
+    row_number on (rounded cosine DESC, vec_id)."""
+    return (
+        f"WITH q AS (SELECT vec_id AS query_id, embedding AS qv "
+        f"FROM embeddings WHERE vec_id % {modulo} = 0), "
+        f"c AS (SELECT q.query_id, e.vec_id, "
+        f"{_sql_cosine_cc('e.embedding', 'q.qv')} AS cosine "
+        "FROM q CROSS JOIN embeddings e) "
+        "SELECT query_id, vec_id, cosine FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cosine DESC, vec_id) AS rn FROM c) "
+        f"WHERE rn <= {k}"
+    )
+
+
+def _sql_ann_batch(modulo: int = 3, k: int = 10,
+                   planes: np.ndarray | None = None) -> str:
+    """Bucketed batch top-k twin: replicate the hyperplane bucketing, the
+    Hamming<=1 probe join (bucket IN (qb, xor(qb, 1<<p)...)), and the brute
+    fence for queries whose candidate set came up short of k."""
+    planes = _PLANES if planes is None else planes
+    probes = ", ".join(["q.qb"] + [f"xor(q.qb, {1 << p})"
+                                   for p in range(len(planes))])
+    cos = _sql_cosine_cc('b.embedding', 'q.qv')
+    cos_br = _sql_cosine_cc('e.embedding', 'q.qv')
+    return (
+        f"WITH b AS (SELECT vec_id, embedding, "
+        f"{_sql_bucket('embedding', planes)} AS bucket FROM embeddings), "
+        f"q AS (SELECT vec_id AS query_id, embedding AS qv, bucket AS qb "
+        f"FROM b WHERE vec_id % {modulo} = 0), "
+        f"cand AS (SELECT q.query_id, b.vec_id, {cos} AS cosine "
+        f"FROM q JOIN b ON b.bucket IN ({probes})), "
+        f"filled AS (SELECT query_id FROM cand GROUP BY query_id "
+        f"HAVING count(*) >= {k}), "
+        "lsh AS (SELECT query_id, vec_id, cosine, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn "
+        "FROM cand WHERE query_id IN (SELECT query_id FROM filled)), "
+        f"br AS (SELECT q.query_id, e.vec_id, {cos_br} AS cosine "
+        "FROM q CROSS JOIN embeddings e "
+        "WHERE q.query_id NOT IN (SELECT query_id FROM filled)), "
+        "brr AS (SELECT query_id, vec_id, cosine, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn FROM br) "
+        f"SELECT query_id, vec_id, cosine FROM lsh WHERE rn <= {k} "
+        "UNION ALL "
+        f"SELECT query_id, vec_id, cosine FROM brr WHERE rn <= {k}"
     )
 
 

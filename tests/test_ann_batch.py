@@ -1,0 +1,111 @@
+"""Batch embedding top-k (operators/ann.py batch_topk*): N query vectors,
+the k nearest each, ONE distributed job — the embedding analogue of
+batchjoin.batch_knn (round-5 verdict item 2).  The reference answers one
+ORDER BY distance + LIMIT plan per request
+(reference openpoiservice/server/api/query_builder.py:84-103); these tests
+pin the batched shape: exact parity with the per-query path, the fill
+fence, determinism, and the no-cartesian plan contract."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from openpoiservice_spark.operators import ann as ANN
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.filter(F.col("vec_id") % 11 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec")).cache()
+
+
+def _as_map(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r.query_id, []).append((r.vec_id, r.cosine))
+    return {q: sorted(v, key=lambda t: (-t[1], t[0])) for q, v in out.items()}
+
+
+def test_brute_batch_matches_per_query_brute(emb, queries):
+    got = _as_map(ANN.batch_topk_brute(emb, queries, k=5).collect())
+    for r in queries.collect():
+        want = [(x.vec_id, x.cosine)
+                for x in ANN.brute_topk(emb, list(r.qvec), 5).collect()]
+        assert got[r.query_id] == want
+
+
+def test_lsh_batch_fill_guarantees_k_rows(emb, queries):
+    # 8 planes over 500 rows leave most buckets < k deep: the brute fence
+    # must top every query up to exactly k rows, and the filled answers are
+    # then the EXACT top-k (brute parity on the under-filled subset)
+    planes = ANN.hyperplanes(8, 64, 13)
+    out = ANN.batch_topk(emb, queries, k=10, planes=planes)
+    per_q = {r.query_id: r.n for r in
+             out.groupBy("query_id").agg(F.count("*").alias("n")).collect()}
+    nq = queries.count()
+    assert len(per_q) == nq
+    assert set(per_q.values()) == {10}
+
+
+def test_lsh_batch_no_fill_is_bucket_bounded(emb, queries):
+    # fill=False keeps only genuine Hamming<=1 candidates — per-query counts
+    # never exceed k but may be short (the thing the fence exists for)
+    planes = ANN.hyperplanes(8, 64, 13)
+    out = ANN.batch_topk(emb, queries, k=10, planes=planes, fill=False)
+    per_q = {r.query_id: r.n for r in
+             out.groupBy("query_id").agg(F.count("*").alias("n")).collect()}
+    assert max(per_q.values()) <= 10
+    assert min(per_q.values()) >= 1  # own bucket always holds the query
+
+
+def test_ivf_batch_full_probe_equals_brute(emb, queries):
+    cents = ANN.ivf_centroids(16, 64, 21)
+    full = ANN.batch_topk_ivf(emb, queries, k=5, centroids=cents,
+                              nprobe=16, fill=False)
+    brute = ANN.batch_topk_brute(emb, queries, k=5)
+    assert full.exceptAll(brute).count() == 0
+    assert brute.exceptAll(full).count() == 0
+
+
+def test_ivf_batch_fill_guarantees_k_rows(emb, queries):
+    cents = ANN.ivf_centroids(16, 64, 21)
+    out = ANN.batch_topk_ivf(emb, queries, k=10, centroids=cents, nprobe=1)
+    per_q = {r.query_id: r.n for r in
+             out.groupBy("query_id").agg(F.count("*").alias("n")).collect()}
+    assert set(per_q.values()) == {10}
+
+
+def test_lsh_candidate_plan_is_equi_join(spark, emb, queries):
+    """Scale contract: the probe join is an EQUI-join on the int bucket key
+    — no cartesian, no nested loop — even with auto-broadcast disabled and
+    the explicit broadcast hint off (both sides big: the 100 TB case)."""
+    planes = ANN.hyperplanes(8, 64, 13)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(ANN.batch_topk(emb, queries, k=10, planes=planes,
+                                    fill=False, broadcast_queries=False))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+
+
+def test_unbroadcast_path_same_result(emb, queries):
+    planes = ANN.hyperplanes(8, 64, 13)
+    a = ANN.batch_topk(emb, queries, k=10, planes=planes)
+    b = ANN.batch_topk(emb, queries, k=10, planes=planes,
+                       broadcast_queries=False)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
