@@ -96,26 +96,73 @@ LOCK_HEARTBEAT_S = 5.0
 LOCK_STALE_TTL_S = 60.0
 
 
+def _write_owner(fs, p, owner: str) -> None:
+    """Stamp the holder's unique owner token into the lock file (round-5
+    ADVICE: an unowned lock let a swept-but-alive writer's finally-delete
+    remove the NEW holder's lock).  Overwrite is safe: only the holder that
+    just won createNewFile calls this."""
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(owner.encode("ascii")))
+    finally:
+        out.close()
+
+
+def _read_owner(jvm, fs, p) -> str | None:
+    """The lock file's owner token; '' for a token-less (legacy/mid-write)
+    lock, None when the file does not exist.  Transient IO errors raise —
+    callers that must distinguish 'gone' from 'unreachable' (the heartbeat)
+    check existence first."""
+    if not fs.exists(p):
+        return None
+    br = jvm.java.io.BufferedReader(jvm.java.io.InputStreamReader(fs.open(p)))
+    try:
+        return br.readLine() or ""
+    finally:
+        br.close()
+
+
 class _Heartbeat:
     """Daemon thread refreshing the lock file's mtime while the writer
     works — the liveness signal the TTL sweeper keys on.  Long mutations
     (a multi-minute dynamic-partition rewrite) stay visibly alive however
-    long they run; only a crashed writer's lock goes stale."""
+    long they run; only a crashed writer's lock goes stale.
 
-    def __init__(self, fs, p, interval_s: float):
+    Transient refresh failures RETRY every tick (round-5 ADVICE: a single
+    failed setTimes must not silently stop the liveness signal — that is
+    exactly how a slow-but-alive writer gets swept); only after a full TTL
+    of consecutive failures — by which point the lock may legitimately have
+    been swept — does the thread give up and flag `lost`.  `lost` is also
+    set the moment the lock file vanishes or carries another writer's owner
+    token: the holder has been usurped and must abort its mutation."""
+
+    def __init__(self, jvm, fs, p, interval_s: float, owner: str,
+                 ttl_s: float):
         import threading
 
-        self._fs, self._p, self._interval = fs, p, interval_s
+        self._jvm, self._fs, self._p = jvm, fs, p
+        self._interval, self._owner, self._ttl = interval_s, owner, ttl_s
         self._stop = threading.Event()
+        self.lost = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
 
     def _run(self):
+        miss_since = None
         while not self._stop.wait(self._interval):
             try:
+                cur = _read_owner(self._jvm, self._fs, self._p)
+                if cur != self._owner:
+                    self.lost.set()  # gone or usurped — we no longer hold it
+                    return
                 now = int(time.time() * 1000)
                 self._fs.setTimes(self._p, now, now)
-            except Exception:  # noqa: BLE001 — lock gone = context exiting
-                return
+                miss_since = None
+            except Exception:  # noqa: BLE001 — transient FS error: retry
+                if miss_since is None:
+                    miss_since = time.time()
+                elif time.time() - miss_since > self._ttl:
+                    self.lost.set()  # unreachable past the TTL: assume swept
+                    return
 
     def __enter__(self):
         self._thread.start()
@@ -168,15 +215,24 @@ def commit_lock(spark: SparkSession, prepared_dir: str,
 
     Mechanism: atomic `FileSystem.createNewFile` on `<prepared>/_commit.lock`
     — atomic on local FS and HDFS (the rename-based stores Iceberg also
-    relies on for its commit).  Liveness: the holder HEARTBEATS the lock
-    mtime every `heartbeat_s`; a waiter finding the mtime older than
+    relies on for its commit).  The winner stamps a unique OWNER TOKEN into
+    the lock file.  Liveness: the holder HEARTBEATS the lock mtime every
+    `heartbeat_s` (transient failures retry every tick; only a full TTL of
+    consecutive failures gives up); a waiter finding the mtime older than
     `stale_ttl_s` sweeps the dead writer's lock via atomic rename-to-
     tombstone and proceeds — no operator intervention, no TTL race between
-    sweepers (only one rename wins).  On S3-class stores without atomic
+    sweepers (only one rename wins).  Fencing on usurpation (round-5
+    ADVICE): release deletes the lock ONLY if it still carries this
+    holder's token, so a swept-then-released writer never removes the new
+    holder's lock; a holder that lost ownership mid-mutation raises
+    CommitConflict on exit (long mutations may poll the yielded heartbeat's
+    `lost` event to abort earlier).  On S3-class stores without atomic
     create/rename, swap the table for a real Iceberg catalog commit
     (SURVEY.md §1.3 — the layout is Iceberg-pluggable by design)."""
     fs, p = _hadoop_fs(spark, f"{prepared_dir}/_commit.lock")
+    jvm = spark.sparkContext._jvm
     fs.mkdirs(p.getParent())
+    owner = uuid.uuid4().hex
     deadline = time.time() + timeout_s
     while not fs.createNewFile(p):
         if _sweep_if_stale(fs, p, stale_ttl_s):
@@ -187,11 +243,24 @@ def commit_lock(spark: SparkSession, prepared_dir: str,
                 f"writer is active (a dead writer's lock would have been "
                 f"swept after its {stale_ttl_s}s TTL)")
         time.sleep(poll_s)
+    _write_owner(fs, p, owner)
+    hb = _Heartbeat(jvm, fs, p, heartbeat_s, owner, stale_ttl_s)
     try:
-        with _Heartbeat(fs, p, heartbeat_s):
-            yield
+        with hb:
+            yield hb
+        if hb.lost.is_set():
+            raise CommitConflict(
+                f"lock ownership of {p} was lost mid-mutation (lock swept "
+                f"or usurped after sustained heartbeat failures) — another "
+                f"writer may have run concurrently; inspect the table's "
+                f"lineage before trusting this commit")
     finally:
-        fs.delete(p, False)
+        try:
+            if _read_owner(jvm, fs, p) == owner:
+                fs.delete(p, False)
+        except Exception:  # noqa: BLE001 — release is best-effort; the TTL
+            pass           # sweeper reclaims an undeleted lock
+
 
 
 def data_path(prepared_dir: str) -> str:

@@ -175,3 +175,37 @@ def test_live_writer_heartbeat_prevents_sweep(spark, table):
     t1.start(); t2.start(); t1.join(); t2.join()
     kinds = [k for k, _ in sorted(events, key=lambda e: e[1])]
     assert kinds == ["hold", "release", "acquire"]
+
+
+def test_usurped_lock_not_deleted_and_conflict_raised(spark, table):
+    """Round-5 ADVICE (medium): a holder whose lock was swept and re-taken
+    by another writer must (a) NOT delete the new holder's lock on exit —
+    release is ownership-checked — and (b) raise CommitConflict so the
+    mutation is not silently reported as committed."""
+    import time
+
+    fs, p = prepare._hadoop_fs(spark, f"{table}/_commit.lock")
+    jvm = spark.sparkContext._jvm
+    with pytest.raises(prepare.CommitConflict, match="lost mid-mutation"):
+        with prepare.commit_lock(spark, table, heartbeat_s=0.1,
+                                 stale_ttl_s=5.0) as hb:
+            # simulate a sweep + takeover: replace the lock content with a
+            # different writer's owner token
+            prepare._write_owner(fs, p, "other-writer-token")
+            deadline = time.time() + 5.0
+            while not hb.lost.is_set() and time.time() < deadline:
+                time.sleep(0.05)
+            assert hb.lost.is_set()  # heartbeat noticed the usurpation
+    # the new holder's lock survives the old holder's release
+    assert prepare._read_owner(jvm, fs, p) == "other-writer-token"
+    fs.delete(p, False)
+
+
+def test_lock_release_is_ownership_checked_normal_path(spark, table):
+    """The happy path still releases: the holder's own token is found and
+    the lock file is removed on exit."""
+    fs, p = prepare._hadoop_fs(spark, f"{table}/_commit.lock")
+    with prepare.commit_lock(spark, table) as hb:
+        assert not hb.lost.is_set()
+        assert fs.exists(p)
+    assert not fs.exists(p)
