@@ -438,7 +438,9 @@ def batch_topk_ivf(emb: DataFrame, queries: DataFrame, k: int = 10,
 def cosine_components(emb: DataFrame, threshold: float = 0.9,
                       planes: np.ndarray | None = None,
                       max_bucket: int | None = None,
-                      max_iter: int = 25) -> DataFrame:
+                      max_iter: int = 25,
+                      checkpoint_dir: str | None = None,
+                      algorithm: str = "label") -> DataFrame:
     """Connected components of the EMBEDDING near-dup graph — (vec_id,
     component), component = smallest vec_id transitively reachable through
     cosine >= threshold pairs (`cosine_pairs` edges).  The cluster-correct
@@ -452,7 +454,8 @@ def cosine_components(emb: DataFrame, threshold: float = 0.9,
         .select("vec_a", "vec_b")
     return graph.connected_components(
         emb.select("vec_id"), edges, node_col="vec_id",
-        src="vec_a", dst="vec_b", max_iter=max_iter)
+        src="vec_a", dst="vec_b", max_iter=max_iter,
+        checkpoint_dir=checkpoint_dir, algorithm=algorithm)
 
 
 def bucket_stats(emb: DataFrame, planes: np.ndarray | None = None) -> DataFrame:

@@ -205,7 +205,9 @@ def deterministic_split(docs: DataFrame, test_pct: int = 20,
 def near_dup_components(docs: DataFrame, threshold: float = 0.2, n: int = 5,
                         k: int = 8, bands: int = 2,
                         max_bucket: int | None = None,
-                        max_iter: int = 25) -> DataFrame:
+                        max_iter: int = 25,
+                        checkpoint_dir: str | None = None,
+                        algorithm: str = "label") -> DataFrame:
     """Connected components of the near-duplicate graph: every document
     labelled with the SMALLEST doc_id reachable through jaccard >=
     threshold edges — (doc_id, component).  Pairwise near-dup lists
@@ -224,7 +226,8 @@ def near_dup_components(docs: DataFrame, threshold: float = 0.2, n: int = 5,
         .select("doc_a", "doc_b")
     return graph.connected_components(
         docs.select("doc_id"), edges, node_col="doc_id",
-        src="doc_a", dst="doc_b", max_iter=max_iter)
+        src="doc_a", dst="doc_b", max_iter=max_iter,
+        checkpoint_dir=checkpoint_dir, algorithm=algorithm)
 
 
 def curate(docs: DataFrame, min_quality: float = 0.5, langs: tuple = ("en",),
