@@ -1208,7 +1208,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "curate_keep": _sql_curate(),
         "train_test_split": _sql_split("CAST(doc_id AS VARCHAR)"),
-        "split_by_content": _sql_split("text"),
+        "split_by_content": _sql_split("coalesce(text, '')"),
         "near_dup_components": _sql_components(),
         "curate_clusters": _sql_curate_clusters(),
         "ann_components": _sql_ann_components(),

