@@ -565,11 +565,18 @@ def batch_knn(points: DataFrame, queries_df: DataFrame, k: int, res: int,
             ).cast("long").alias("r_next"))
         fail_meta.cache()
         n_fail = fail_meta.count()
-        this_round = topk if n_fail == 0 else topk.join(
-            F.broadcast(fail_meta.select("query_id")), "query_id", "left_anti")
-        done = this_round if done is None else done.unionByName(this_round)
         if n_fail == 0:
+            done = topk if done is None else done.unionByName(topk)
+            fail_meta.unpersist()
             break
+        # multi-round path (round-5 verdict item 8 + ADVICE): localCheckpoint
+        # the accepted rows so the final action reads materialized blocks
+        # instead of replaying every earlier round's cover-join chain, and so
+        # the lazy union's plan depth stays O(1) per round
+        this_round = topk.join(
+            F.broadcast(fail_meta.select("query_id")), "query_id",
+            "left_anti").localCheckpoint()
+        done = this_round if done is None else done.unionByName(this_round)
         # pick next round's res so the LARGEST needed disk stays within
         # max_ring cells (bounded cover size per query however far the
         # expansion must reach); everyone's radius rescales to the new res
@@ -589,7 +596,11 @@ def batch_knn(points: DataFrame, queries_df: DataFrame, k: int, res: int,
                            F.lit(1)),
                 F.lit(int(max_ring))).cast("long"))
             .drop("r_next")
-        )
+        ).localCheckpoint()
+        # remaining + this_round are materialized: the round's cached
+        # fail_meta has no remaining consumers (round-5 ADVICE — the cache
+        # previously leaked one frame per re-probe round)
+        fail_meta.unpersist()
     if probe_stats is not None:
         probe_stats.update(rounds=rounds)
     return done
@@ -603,14 +614,28 @@ def _pcell_parent_sql(col_sql: str, res_from: int) -> str:
 
 
 def batch_join_counts(points: DataFrame, geoms_df: DataFrame, res: int,
-                      include_empty: bool = False, **kw) -> DataFrame:
+                      include_empty: bool = False,
+                      dedup: bool = False, **kw) -> DataFrame:
     """Per-geometry match counts — the batch analogue of the stats request
     (one aggregate over the join; partial aggregation keeps the shuffle to
     one row per (partition, geom_id)).  `include_empty=True` emits a 0-count
     row for geometries matching nothing (a broadcast left join against the
     small geometry-id side — the report shape a region-coverage audit
-    needs)."""
+    needs).
+
+    dedup=True collapses duplicate (geom_id, point) pairs BEFORE counting —
+    required when the geometry layer came from geomtext's multi-part
+    fan-out (one GEOM_SCHEMA row per MultiPolygon part shares the geom_id,
+    so a point inside two parts of one geometry otherwise counts twice;
+    round-5 ADVICE).  Point identity is keep_cols[0], which must UNIQUELY
+    identify a point — with a non-unique key (e.g. a per-category exploded
+    view) dedup also collapses same-key rows.  Costs one extra
+    partial-aggregable distinct on the pair keys; leave False for
+    single-part layers."""
     pairs = batch_spatial_join(points, geoms_df, res, **kw)
+    if dedup:
+        key = kw.get("keep_cols", ("poi_id",))[0]
+        pairs = pairs.dropDuplicates(["geom_id", key])
     counts = pairs.groupBy("geom_id").agg(F.count("*").alias("n_pois"))
     if not include_empty:
         return counts
@@ -635,11 +660,18 @@ def batch_filtered_counts(points: DataFrame, geoms_df: DataFrame, res: int,
     broadcast equi-join on (geom_id, cat) composed AFTER the spatial join,
     so the spatial stage's shape (one shuffle per side, pipelined refine)
     is untouched.  per_category=True keeps the (geom_id, cat) breakdown —
-    the reference's stats-by-category response shape."""
+    the reference's stats-by-category response shape.
+
+    dedup=True collapses duplicate (geom_id, point) pairs before counting
+    (multi-part layers — see batch_join_counts; a point in two parts of
+    one MultiPolygon has one category, so the pair key suffices)."""
+    keep = tuple(kw.pop("keep_cols", ("poi_id",)))
+    dedup = kw.pop("dedup", False)
     pairs = batch_spatial_join(points, geoms_df, res,
                                keep_cols=tuple(dict.fromkeys(
-                                   [*kw.pop("keep_cols", ("poi_id",)),
-                                    cat_col])), **kw)
+                                   [*keep, cat_col])), **kw)
+    if dedup:
+        pairs = pairs.dropDuplicates(["geom_id", keep[0]])
     kept = pairs.join(F.broadcast(allowed.select("geom_id", cat_col)),
                       ["geom_id", cat_col])
     keys = ["geom_id", cat_col] if per_category else ["geom_id"]

@@ -89,6 +89,34 @@ def test_batch_join_counts_include_empty(spark, view, geom_items):
     assert 99 not in inner
 
 
+def test_batch_join_counts_dedup_multipart_layer(spark, view, geom_items):
+    """Round-5 ADVICE: a multi-part layer (geomtext fan-out: one row per
+    MultiPolygon part, SHARED geom_id) double-counts points matching two
+    parts unless dedup=True collapses (geom_id, point) pairs first.
+    The dedup key (keep_cols[0]) must uniquely identify a point — synthetic
+    points here; the fixture view's poi_id repeats across category rows."""
+    rng = np.random.default_rng(41)
+    n = 120
+    pts = spark.createDataFrame(
+        [(int(i), 8.2 + 0.4 * float(rng.random()),
+          52.3 + 0.3 * float(rng.random())) for i in range(n)],
+        "poi_id long, lon double, lat double")
+    # two identical bbox 'parts' of geometry 0 — every matching point
+    # matches both rows
+    items = [
+        (0, geo.bbox_spec(8.0, 52.2, 8.9, 52.7), 0.0),
+        (0, geo.bbox_spec(8.0, 52.2, 8.9, 52.7), 0.0),
+    ]
+    gdf = BJ.geoms_to_df(spark, items)
+    raw = {r.geom_id: r.n_pois
+           for r in BJ.batch_join_counts(pts, gdf, res=12).collect()}
+    ded = {r.geom_id: r.n_pois
+           for r in BJ.batch_join_counts(pts, gdf, res=12,
+                                         dedup=True).collect()}
+    assert raw[0] == 2 * n   # the documented hazard, demonstrated
+    assert ded[0] == n       # dedup restores per-geometry semantics
+
+
 def test_batch_join_plan_is_shuffled_equi_join(spark, view, geom_items):
     """The scale contract: an EQUI-join on the cell key — never a cartesian
     product or nested loop, whatever N_geoms is.  With auto-broadcast off
@@ -319,6 +347,31 @@ def test_batch_knn_fence_reprobe_expands(spark):
     assert stats["rounds"] > 1  # the re-probe actually fired
     want = _knn_brute(pts.collect(), queries, 5)
     assert got == want
+
+
+def test_batch_knn_multi_round_plan_is_checkpoint_bounded(spark):
+    """Round-5 verdict item 8: each re-probe round localCheckpoints the
+    accepted rows, so the returned union's plan reads materialized blocks
+    (ExistingRDD) instead of replaying every earlier round's cover-join
+    chain, and plan depth stays bounded however many rounds ran."""
+    from collections import Counter
+
+    rng = np.random.default_rng(29)
+    pts = spark.createDataFrame(
+        [(int(i), 10.5 + 0.02 * float(rng.random()),
+          53.5 + 0.02 * float(rng.random())) for i in range(300)],
+        "poi_id long, lon double, lat double")
+    # one easy query (answered round 1) + one far query (forces re-probes):
+    # the easy round's accepted rows must come back via a checkpoint scan
+    queries = [(0, 10.51, 53.51), (1, 6.0, 50.0)]
+    stats = {}
+    out = BJ.batch_knn(pts, _qdf(spark, queries), k=3, res=12, r0=1,
+                       probe_stats=stats)
+    got = Counter((r.query_id, r.poi_id) for r in out.collect())
+    assert stats["rounds"] > 1
+    assert got == _knn_brute(pts.collect(), queries, 3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan  # earlier rounds are materialized blocks
 
 
 def test_batch_knn_dateline_and_k_gt_n(spark):
