@@ -682,6 +682,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _emb(spark, sf)
         return ANN.batch_topk_brute(emb, _batch_queries(emb, 7), 10)
 
+    def compact_identity(spark, sf):
+        # round-5 verdict item 7: prepare.compact under the oracle — build a
+        # pcell-partitioned table from the poi view in THREE append slices
+        # (multi-file pcells, the streaming-sink aftermath), compact every
+        # pcell, and return the table content: rows must be bit-identical to
+        # the pre-compaction view (the twin is the plain view SQL)
+        import tempfile
+
+        from openpoiservice_spark import prepare
+        from openpoiservice_spark.functions import cell_expr, cell_parent_expr
+
+        view = D.spark_poi_view(spark, sf).select("poi_id", "lon", "lat")
+        df = view.withColumn(
+            "cell", cell_expr(F.col("lon"), F.col("lat"), prepare.ROW_RES))
+        df = df.withColumn(
+            "pcell", cell_parent_expr(F.col("cell"), prepare.ROW_RES,
+                                      prepare.PART_RES))
+        base = tempfile.mkdtemp(prefix="compact_gate_") + "/prepared"
+        for s in range(3):
+            (df.filter(F.pmod(F.col("poi_id"), F.lit(3)) == s)
+             .write.mode("append").partitionBy("pcell")
+             .parquet(prepare.data_path(base)))
+        stats = prepare.compact(spark, base, min_files=2)
+        if stats["pcells"] < 1 or stats["files_after"] >= stats["files_before"]:
+            raise AssertionError(f"compaction did not rewrite: {stats}")
+        return prepare.read_prepared(spark, base).select(
+            "poi_id", "lon", "lat")
+
     def ann_batch(spark, sf):
         # the scale path: LSH-bucket both sides, explode each query into
         # its Hamming<=1 probe buckets, ONE equi-join on the int bucket —
@@ -916,6 +944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round 6 (newest) -------------------------------------------
         "ann_batch_top10": ann_batch,
         "ann_batch_brute_top10": ann_batch_brute,
+        "compact_identity": compact_identity,
         # -- round 5 ----------------------------------------------------
         "pois_batch_knn": pois_batch_knn,
         "pois_batch_knn_salted": pois_batch_knn_salted,
@@ -1244,6 +1273,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_pairs_auto": _sql_ann_pairs(_auto_planes_for()),
         "ann_batch_top10": _sql_ann_batch(),
         "ann_batch_brute_top10": _sql_ann_batch_brute(),
+        # compaction is a file-geometry rewrite: the content contract is
+        # IDENTITY against the derived view (same rows before and after)
+        "compact_identity": f"{_POI} SELECT poi_id, lon, lat FROM poi",
     }
     # the update-mode streaming gate's upsert-applied final state must equal
     # the BATCH sessionization — same twin by construction
