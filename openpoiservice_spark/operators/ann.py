@@ -39,7 +39,14 @@ def _norm(a: Column) -> Column:
 
 
 def _qvec_lit(qvec) -> Column:
-    return F.array(*[F.lit(float(x)) for x in qvec])
+    """Vector literal as ONE parsed SQL expression: building it from 64
+    F.lit() calls pays a py4j round-trip per element (~1-2 s of driver plan
+    construction per plane set — the same latency class the geo side's
+    isin_expr fix addressed); CAST('<repr>' AS DOUBLE) round-trips the
+    float exactly, so values are bit-identical to the lit() form."""
+    return F.expr(
+        "array(" + ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in qvec)
+        + ")")
 
 
 def query_vector(dim: int = 64, seed: int = 7) -> np.ndarray:
@@ -321,6 +328,10 @@ def _fill_underfilled(emb: DataFrame, q: DataFrame, topk: DataFrame,
     broadcast path — one extra pass over only the under-filled queries (the
     embedding analogue of batch_knn's re-probe round).  Driver-side work is
     one bounded take(1) on the under-filled set."""
+    # materialize the bucketed top-k ONCE (<= k rows per query): the fence
+    # check and the caller's terminal action both read the blocks instead of
+    # re-executing the candidate join + window
+    topk = topk.localCheckpoint()
     counts = topk.groupBy("query_id").agg(F.count("*").alias("_n"))
     under = (
         q.join(counts, "query_id", "left")
