@@ -682,6 +682,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _emb(spark, sf)
         return ANN.batch_topk_brute(emb, _batch_queries(emb, 7), 10)
 
+    def ann_batch_ivf(spark, sf):
+        # IVF-cell batch top-k: both sides assigned to the 16-centroid
+        # codebook, each query exploded into its top-nprobe cells (JVM
+        # array_sort argmax, lowest-index tie-break), ONE equi-join on the
+        # cell id; under-filled queries re-answered by the brute fence
+        emb = _emb(spark, sf)
+        return ANN.batch_topk_ivf(emb, _batch_queries(emb, 5), 10,
+                                  _CENTROIDS, nprobe=2)
+
     def compact_identity(spark, sf):
         # round-5 verdict item 7: prepare.compact under the oracle — build a
         # pcell-partitioned table from the poi view in THREE append slices
@@ -944,6 +953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round 6 (newest) -------------------------------------------
         "ann_batch_top10": ann_batch,
         "ann_batch_brute_top10": ann_batch_brute,
+        "ann_batch_ivf_top10": ann_batch_ivf,
         "compact_identity": compact_identity,
         # -- round 5 ----------------------------------------------------
         "pois_batch_knn": pois_batch_knn,
@@ -1273,6 +1283,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pairs_auto": _sql_ann_pairs(_auto_planes_for()),
         "ann_batch_top10": _sql_ann_batch(),
         "ann_batch_brute_top10": _sql_ann_batch_brute(),
+        "ann_batch_ivf_top10": _sql_ann_batch_ivf(),
         # compaction is a file-geometry rewrite: the content contract is
         # IDENTITY against the derived view (same rows before and after)
         "compact_identity": f"{_POI} SELECT poi_id, lon, lat FROM poi",
@@ -1732,6 +1743,53 @@ def _sql_ann_batch(modulo: int = 3, k: int = 10,
         "brr AS (SELECT query_id, vec_id, cosine, row_number() OVER ("
         "PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn FROM br) "
         f"SELECT query_id, vec_id, cosine FROM lsh WHERE rn <= {k} "
+        "UNION ALL "
+        f"SELECT query_id, vec_id, cosine FROM brr WHERE rn <= {k}"
+    )
+
+
+def _sql_ann_batch_ivf(modulo: int = 5, k: int = 10, nprobe: int = 2) -> str:
+    """IVF batch twin: replicate the nearest-centroid assignment (same CASE
+    chain as the single-query IVF twin), each query's top-nprobe cells
+    (dots DESC, lowest cell on ties — the engine's array_sort order), the
+    cell equi-join, and the brute fence."""
+    n = len(_CENTROIDS)
+    dots = ", ".join(
+        f"{_sql_dot('embedding', c)} AS d{i}" for i, c in enumerate(_CENTROIDS)
+    )
+    best = "greatest(" + ", ".join(f"d{i}" for i in range(n)) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN d{i} = best THEN {i}" for i in range(n - 1)
+    ) + f" ELSE {n - 1} END"
+    dlist = "[" + ", ".join(f"d{i}" for i in range(n)) + "]"
+    cos = _sql_cosine_cc('a.embedding', 'p.qv')
+    cos_br = _sql_cosine_cc('e.embedding', 'q0.qv')
+    return (
+        f"WITH d AS (SELECT vec_id, embedding, {dots} FROM embeddings), "
+        f"bb AS (SELECT *, {best} AS best FROM d), "
+        f"a AS (SELECT vec_id, embedding, {case} AS ivf_cell FROM bb), "
+        f"q0 AS (SELECT vec_id AS query_id, embedding AS qv, "
+        f"unnest(range({n})) AS cell, unnest({dlist}) AS qd "
+        f"FROM d WHERE vec_id % {modulo} = 0), "
+        "qr AS (SELECT query_id, qv, cell, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY qd DESC, cell) AS rn FROM q0), "
+        f"p AS (SELECT query_id, qv, cell FROM qr WHERE rn <= {nprobe}), "
+        f"cand AS (SELECT p.query_id, a.vec_id, {cos} AS cosine "
+        "FROM p JOIN a ON a.ivf_cell = p.cell), "
+        f"filled AS (SELECT query_id FROM cand GROUP BY query_id "
+        f"HAVING count(*) >= {k}), "
+        "iv AS (SELECT query_id, vec_id, cosine, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn "
+        "FROM cand WHERE query_id IN (SELECT query_id FROM filled)), "
+        "q1 AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings "
+        f"WHERE vec_id % {modulo} = 0), "
+        "br AS (SELECT q0.query_id, e.vec_id, "
+        f"{cos_br} AS cosine "
+        "FROM q1 q0 CROSS JOIN embeddings e "
+        "WHERE q0.query_id NOT IN (SELECT query_id FROM filled)), "
+        "brr AS (SELECT query_id, vec_id, cosine, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn FROM br) "
+        f"SELECT query_id, vec_id, cosine FROM iv WHERE rn <= {k} "
         "UNION ALL "
         f"SELECT query_id, vec_id, cosine FROM brr WHERE rn <= {k}"
     )

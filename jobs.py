@@ -130,6 +130,25 @@ def main(argv=None):
                      help="salt pcells whose lineage row count exceeds this "
                           "(0 = no salting)")
 
+    sba = sub.add_parser("ann-batch",
+                         help="top-k nearest embeddings for each of N query "
+                              "vectors, one job (LSH/IVF bucket join + brute "
+                              "fill fence)")
+    sba.add_argument("--emb", required=True, help="embeddings parquet path")
+    sba.add_argument("--queries", required=True,
+                     help="query table parquet (query_id long, "
+                          "qvec array<float>)")
+    sba.add_argument("--out", required=True)
+    sba.add_argument("-k", type=int, default=10)
+    sba.add_argument("--method", choices=("lsh", "ivf", "brute"),
+                     default="lsh")
+    sba.add_argument("--target-bucket", type=int, default=1024,
+                     help="LSH: expected bucket size the plane count is "
+                          "sized for")
+    sba.add_argument("--centroids", type=int, default=256,
+                     help="IVF: codebook size (trained on a driver sample)")
+    sba.add_argument("--nprobe", type=int, default=4)
+
     sf = sub.add_parser("frames", help="sample video/image frames (AVI real)")
     sf.add_argument("--images", required=True, help="payload parquet path")
     sf.add_argument("--out", required=True)
@@ -251,6 +270,33 @@ def main(argv=None):
         cb = ANN.ivf_train(sample, n_centroids=args.centroids)
         ANN.write_ivf_table(emb, args.out, cb)
         print(json.dumps({"rows": n, "centroids": args.centroids, "out": args.out}))
+    elif args.cmd == "ann-batch":
+        import numpy as np
+
+        from openpoiservice_spark.operators import ann as ANN
+
+        emb = spark.read.parquet(args.emb)
+        qdf = spark.read.parquet(args.queries)
+        if args.method == "brute":
+            out = ANN.batch_topk_brute(emb, qdf, args.k)
+        elif args.method == "ivf":
+            n = emb.count()
+            frac = min(1.0, 100_000 / max(n, 1))
+            sample = np.array(
+                emb.sample(frac, seed=7).limit(100_000)
+                .select("embedding").toPandas()["embedding"].tolist()
+            )
+            cb = ANN.ivf_train(sample, n_centroids=args.centroids)
+            out = ANN.batch_topk_ivf(emb, qdf, args.k, cb,
+                                     nprobe=args.nprobe)
+        else:
+            planes = ANN.auto_hyperplanes(
+                emb, target_bucket=args.target_bucket)
+            out = ANN.batch_topk(emb, qdf, args.k, planes)
+        out.write.mode("overwrite").parquet(args.out)
+        n_out = spark.read.parquet(args.out).count()
+        print(json.dumps({"method": args.method, "k": args.k,
+                          "rows": n_out, "out": args.out}))
     elif args.cmd == "image-dedup":
         from pyspark.sql import functions as F
 
