@@ -446,6 +446,39 @@ def batch_topk_ivf(emb: DataFrame, queries: DataFrame, k: int = 10,
     return _fill_underfilled(emb, q, topk, k) if fill else topk
 
 
+def batch_topk_ivf_table(spark, path: str, queries: DataFrame, k: int = 10,
+                         centroids: np.ndarray | None = None,
+                         nprobe: int = DEFAULT_NPROBE,
+                         query_id: str = "query_id", qvec_col: str = "qvec",
+                         fill: bool = True) -> DataFrame:
+    """Batch top-k over a `write_ivf_table` layout — the 100 TB shape of
+    `batch_topk_ivf`: the table side's cell assignment is already the
+    parquet PARTITION column, so the probe equi-join prunes at the
+    directory level.  With the probe side broadcast, Spark's dynamic
+    partition pruning turns the scan into 'only the partitions some query
+    probes' — the batch analogue of `ivf_topk_table`'s static pruning; a
+    probe set concentrated on few cells opens few files however large the
+    table.  The brute fence re-reads the full table only for under-filled
+    queries."""
+    centroids = ivf_centroids() if centroids is None else centroids
+    q = _norm_queries(queries, query_id, qvec_col)
+    a = spark.read.parquet(path)
+    cb = F.array(*[_qvec_lit(c) for c in centroids])
+    ranked = F.array_sort(F.transform(
+        cb, lambda c, i: F.struct((-_dot(F.col("qvec"), c)).alias("nd"),
+                                  i.alias("i"))))
+    probe_arr = F.transform(F.slice(ranked, 1, nprobe), lambda s: s["i"])
+    probes = q.select("query_id", "qvec",
+                      F.explode(probe_arr).alias("ivf_cell"))
+    cand = a.alias("e").join(F.broadcast(probes).alias("q"), "ivf_cell") \
+            .select(*_cand_cols())
+    topk = _topk_per_query(cand, k)
+    if not fill:
+        return topk
+    emb = spark.read.parquet(path).select("vec_id", "embedding")
+    return _fill_underfilled(emb, q, topk, k)
+
+
 def cosine_components(emb: DataFrame, threshold: float = 0.9,
                       planes: np.ndarray | None = None,
                       max_bucket: int | None = None,

@@ -102,6 +102,31 @@ def test_lsh_candidate_plan_is_equi_join(spark, emb, queries):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
 
 
+def test_ivf_table_batch_matches_unindexed(spark, emb, queries, tmp_path):
+    """batch_topk_ivf_table over the write_ivf_table layout returns exactly
+    what the unindexed batch path returns, and its probe join drives the
+    partitioned scan (dynamic partition pruning on the ivf_cell directory
+    key when the broadcast side is filterable — at minimum the cell column
+    arrives from the partition key, not a recomputed assignment)."""
+    cents = ANN.ivf_centroids(16, 64, 21)
+    path = str(tmp_path / "ivf")
+    ANN.write_ivf_table(emb, path, cents)
+    table = ANN.batch_topk_ivf_table(spark, path, queries, k=5,
+                                     centroids=cents, nprobe=2)
+    plain = ANN.batch_topk_ivf(emb, queries, k=5, centroids=cents, nprobe=2)
+    assert table.exceptAll(plain).count() == 0
+    assert plain.exceptAll(table).count() == 0
+    # plan shape on the UNFENCED path (fill=True returns a checkpoint scan):
+    # the candidate scan must read the partitioned layout (ivf_cell comes
+    # from the directory key, not a recomputed assignment expression), and
+    # the probe join must be an equi-join
+    plan = ANN.batch_topk_ivf_table(
+        spark, path, queries, k=5, centroids=cents, nprobe=2,
+        fill=False)._jdf.queryExecution().executedPlan().toString()
+    assert "ivf_cell" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_unbroadcast_path_same_result(emb, queries):
     planes = ANN.hyperplanes(8, 64, 13)
     a = ANN.batch_topk(emb, queries, k=10, planes=planes)
