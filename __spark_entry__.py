@@ -33,6 +33,7 @@ from openpoiservice_spark import batchjoin as BJ
 from openpoiservice_spark.functions import (cell_expr, cell_parent_expr,
                                             isin_expr, make_refine_udf)
 from openpoiservice_spark.operators import ann as ANN
+from openpoiservice_spark.operators import curation as CU
 from openpoiservice_spark.operators import text as TX
 
 _POI = f"WITH poi AS ({D.sql_poi_cte()})"
@@ -672,6 +673,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qvec"))
 
+    def doc_repetition(spark, sf):
+        # Gopher-style repetition filters (dup-word / modal-word / modal-
+        # bigram fractions): the post-dedup boilerplate signals a 100 TB
+        # pretraining pipeline scores before mixing — one explode, map-side
+        # combined into per-(doc, term) counts before the only shuffle
+        return CU.repetition_signals(_docs(spark, sf))
+
+    def docs_cap_source(spark, sf):
+        # per-source document cap (training-mix balancing): deterministic
+        # hash-ranked top-10 per source via the skew-aware two-phase window
+        # (a dominant source never funnels through one reducer)
+        return CU.cap_per_source(_docs(spark, sf), 10).select("doc_id", "source")
+
+    def docs_sample_mix(spark, sf):
+        # deterministic mixture sampling: per-source keep rates as pure
+        # hash arithmetic (narrow filter, zero shuffle at any scale);
+        # stable + nested across runs — rate 0.1 rows are a subset of 0.5's
+        return CU.sample_by_source(_docs(spark, sf),
+                                   {"src0": 0.5, "src1": 0.1},
+                                   default_rate=0.3).select("doc_id", "source")
+
+    def docs_pack_bins(spark, sf):
+        # greedy sequence packing (first-fit decreasing inside deterministic
+        # hash shards) — inherently sequential, so no SQL twin exists: the
+        # driver records the weaker rows-only check; pytest owns the
+        # invariants (fill <= budget, each doc exactly once, partitioning-
+        # invariant assignment)
+        return CU.pack_sequences(_docs(spark, sf), budget=256)
+
     def ann_batch_brute(spark, sf):
         # round-5 verdict item 2 baseline: N query vectors x exact top-k in
         # ONE job — broadcast query block, per-partition partial top-k in an
@@ -951,6 +981,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verdict item 1 — 5 rounds of green driver rows stand behind the tail).
     return {
         # -- round 6 (newest) -------------------------------------------
+        "doc_repetition": doc_repetition,
+        "docs_cap_source": docs_cap_source,
+        "docs_sample_mix": docs_sample_mix,
+        "docs_pack_bins": docs_pack_bins,
         "ann_batch_top10": ann_batch,
         "ann_batch_brute_top10": ann_batch_brute,
         "ann_batch_ivf_top10": ann_batch_ivf,
@@ -1287,6 +1321,11 @@ def oracle_sql() -> dict[str, str]:
         # compaction is a file-geometry rewrite: the content contract is
         # IDENTITY against the derived view (same rows before and after)
         "compact_identity": f"{_POI} SELECT poi_id, lon, lat FROM poi",
+        "doc_repetition": _sql_repetition(),
+        "docs_cap_source": _sql_cap_source(10),
+        "docs_sample_mix": _sql_sample_mix(),
+        # docs_pack_bins: greedy first-fit packing is not SQL-expressible —
+        # rows-only driver check; invariants owned by tests/test_curation.py
     }
     # the update-mode streaming gate's upsert-applied final state must equal
     # the BATCH sessionization — same twin by construction
@@ -1470,6 +1509,62 @@ def _sql_category_restrict() -> str:
         f"array_to_string(list_transform({kept}, x -> CAST(x AS VARCHAR)), ',') "
         "AS matched_cats "
         f"FROM poi WHERE {D.sql_bbox_pred('lon', 'lat')} AND len({kept}) > 0"
+    )
+
+
+def _sql_repetition() -> str:
+    """Twin of curation.repetition_signals: same word split
+    (regexp_extract_all '\\S+'), same modal-term math, round(,6) parity."""
+    return (
+        r"WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws "
+        "FROM documents), "
+        "base AS (SELECT doc_id, len(ws) AS n_words, "
+        "len(list_distinct(ws)) AS n_distinct FROM w), "
+        "wcnt AS (SELECT doc_id, term, count(*) AS c FROM "
+        "(SELECT doc_id, unnest(ws) AS term FROM w) GROUP BY 1, 2), "
+        "wtop AS (SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS twf "
+        "FROM wcnt GROUP BY 1), "
+        "bidx AS (SELECT doc_id, ws, "
+        "unnest(generate_series(1, len(ws) - 1)) AS i FROM w), "
+        "bcnt AS (SELECT doc_id, term, count(*) AS c FROM "
+        "(SELECT doc_id, ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1] "
+        "AS term FROM bidx) GROUP BY 1, 2), "
+        "btop AS (SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS tbf "
+        "FROM bcnt GROUP BY 1) "
+        "SELECT b.doc_id, b.n_words, "
+        "CASE WHEN b.n_words > 0 THEN "
+        "round(1 - b.n_distinct * 1.0 / b.n_words, 6) ELSE 0.0 END "
+        "AS dup_word_frac, "
+        "coalesce(wtop.twf, 0.0) AS top_word_frac, "
+        "coalesce(btop.tbf, 0.0) AS top_bigram_frac "
+        "FROM base b LEFT JOIN wtop USING (doc_id) "
+        "LEFT JOIN btop USING (doc_id)"
+    )
+
+
+def _sql_cap_source(cap: int) -> str:
+    """Twin of curation.cap_per_source: the two-phase bucketed rank equals
+    ONE global per-source rank (per-bucket rank > cap implies global
+    rank > cap), so the twin is the plain window form."""
+    h = D.sql_h32("CAST(doc_id AS VARCHAR)")
+    return (
+        "SELECT doc_id, source FROM ("
+        "SELECT doc_id, source, row_number() OVER "
+        "(PARTITION BY source ORDER BY h, doc_id) AS r FROM ("
+        f"SELECT doc_id, source, {h} AS h FROM documents)) "
+        f"WHERE r <= {cap}"
+    )
+
+
+def _sql_sample_mix() -> str:
+    """Twin of curation.sample_by_source with the gate's mixture config:
+    src0 0.5, src1 0.1, default 0.3 — identical md5 key + double math."""
+    h = D.sql_h32("CAST(doc_id AS VARCHAR)")
+    return (
+        "SELECT doc_id, source FROM ("
+        f"SELECT doc_id, source, {h} % 1000000 AS k FROM documents) "
+        "WHERE k < (CASE WHEN source = 'src0' THEN 0.5 "
+        "WHEN source = 'src1' THEN 0.1 ELSE 0.3 END) * 1000000.0"
     )
 
 
