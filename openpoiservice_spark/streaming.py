@@ -253,6 +253,27 @@ def fuse_sessions(sessions: list[tuple[int, int, int]], gap_s: int
     return [tuple(x) for x in out]
 
 
+def stream_dedup(events: DataFrame, key_cols: tuple[str, ...] = ("event_id",),
+                 watermark: str = "1 hour", ts_col: str = "ts") -> DataFrame:
+    """Streaming exact-dedup: drop redeliveries of the same dedup key within
+    the watermark horizon — the ingestion guard an at-least-once source
+    (Kafka replays, file re-drops) needs before rows reach the sessionize /
+    prepare operators downstream.
+
+    `dropDuplicatesWithinWatermark` keeps per-key state only until the
+    watermark passes the key's first-seen event time, so state is bounded by
+    (arrival rate x horizon) regardless of stream lifetime — the unbounded-
+    state trap of plain streaming dropDuplicates is the thing this avoids at
+    100 TB/day.  The shuffle key is the dedup key itself (hash exchange into
+    the stateful operator), the same partitioning any later per-key stateful
+    op reuses.  Duplicates farther apart than the horizon are NOT caught
+    here by design: cross-horizon identity belongs to the batch layer
+    (operators/text.exact_dedup, prepare's lineage fingerprints).
+    """
+    return (events.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(list(key_cols)))
+
+
 def stream_sessionize_update(events, gap_s: int = 1800, watermark: str = "1 hour"):
     """Sessionization with RETRACTION — the update-mode alternative to
     `stream_sessionize` (round-3 verdict item 5 offered either: assert the

@@ -543,3 +543,40 @@ def test_sessionize_subsecond_watermark_clamp(spark, tmp_path):
         u1 = [(r.session_start, r.session_end, r.n_events) for r in rows
               if r.user_id == 1 and getattr(r, "status", "closed") == "closed"]
         assert u1 == [(1000, 1100, 2)], (op_name, rows)
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Redelivered keys across micro-batch boundaries are dropped while the
+    first occurrence is inside the watermark horizon; distinct keys pass."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    raw_dir = str(tmp_path / "dd_events")
+    os.makedirs(raw_dir)
+
+    def chunk(rows, name):
+        df = pd.DataFrame(rows, columns=["event_id", "t"])
+        df["ts"] = pd.to_datetime(df.pop("t"), unit="s", utc=True) \
+            .astype("datetime64[us, UTC]")
+        _write_chunk(df, os.path.join(raw_dir, name))
+
+    # batch 0: ids 1,2,3 (3 duplicated in-batch); batch 1 redelivers 1 and 2
+    # (same + later event time, both within the 1 h horizon) and adds 4
+    chunk([(1, 1000), (2, 1010), (3, 1020), (3, 1020)], "c0.parquet")
+    chunk([(1, 1000), (2, 1500), (4, 2000)], "c1.parquet")
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", "1").parquet(raw_dir))
+    q = (streaming.stream_dedup(src, key_cols=("event_id",), watermark="1 hour")
+         .writeStream.format("memory").queryName("dd")
+         .option("checkpointLocation", str(tmp_path / "dd_cp"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    rows = spark.sql("SELECT event_id, CAST(ts AS LONG) AS t FROM dd").collect()
+    assert sorted((r.event_id, r.t) for r in rows) == \
+        [(1, 1000), (2, 1010), (3, 1020), (4, 2000)]
