@@ -86,6 +86,14 @@ def main(argv=None):
     si.add_argument("--sample", type=int, default=100_000,
                     help="training sample size (driver-side k-means)")
 
+    sia = sub.add_parser("ivf-append",
+                         help="append new vectors into an IVF layout "
+                              "(persisted codebook, commit-locked, idempotent)")
+    sia.add_argument("--emb", required=True, help="new vectors parquet path")
+    sia.add_argument("--table", required=True, help="existing ivf-build output")
+    sia.add_argument("--no-dedup", action="store_true",
+                     help="skip the resident vec_id anti-join")
+
     sd = sub.add_parser("image-dedup", help="perceptual-hash image near-dup pairs")
     sd.add_argument("--images", required=True, help="poi_images parquet path")
     sd.add_argument("--out", default=None)
@@ -270,6 +278,13 @@ def main(argv=None):
         cb = ANN.ivf_train(sample, n_centroids=args.centroids)
         ANN.write_ivf_table(emb, args.out, cb)
         print(json.dumps({"rows": n, "centroids": args.centroids, "out": args.out}))
+    elif args.cmd == "ivf-append":
+        from openpoiservice_spark.operators import ann as ANN
+
+        appended = ANN.append_ivf_table(
+            spark, args.table, spark.read.parquet(args.emb),
+            dedup=not args.no_dedup)
+        print(json.dumps({"appended": appended, "table": args.table}))
     elif args.cmd == "ann-batch":
         import numpy as np
 

@@ -235,6 +235,59 @@ def ivf_topk(emb: DataFrame, qvec, k: int = 10,
     )
 
 
+#: codebook sidecar at the IVF table root — the index metadata travels WITH
+#: the table (FAISS-style), so readers never need the training-time array
+CODEBOOK_FILE = "_ivf_codebook.json"
+
+
+def write_codebook(spark, path: str, centroids: np.ndarray) -> None:
+    """Persist the codebook next to the data (overwrite; tiny JSON written
+    through the Hadoop FS API so it lands wherever the table lives)."""
+    import json
+
+    from ..prepare import _hadoop_fs
+
+    fs, p = _hadoop_fs(spark, f"{path}/{CODEBOOK_FILE}")
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(json.dumps(
+            np.asarray(centroids, dtype=np.float64).tolist()).encode("ascii")))
+    finally:
+        out.close()
+
+
+def read_codebook(spark, path: str) -> np.ndarray | None:
+    """The table's persisted codebook, or None for a pre-sidecar layout
+    (callers fall back to the static seed codebook those tables used)."""
+    import json
+
+    from ..prepare import _hadoop_fs
+
+    fs, p = _hadoop_fs(spark, f"{path}/{CODEBOOK_FILE}")
+    if not fs.exists(p):
+        return None
+    jvm = spark.sparkContext._jvm
+    br = jvm.java.io.BufferedReader(jvm.java.io.InputStreamReader(fs.open(p)))
+    try:
+        lines = []
+        while True:
+            ln = br.readLine()
+            if ln is None:
+                break
+            lines.append(ln)
+    finally:
+        br.close()
+    return np.asarray(json.loads("".join(lines)), dtype=np.float64)
+
+
+def _table_centroids(spark, path: str,
+                     centroids: np.ndarray | None) -> np.ndarray:
+    if centroids is not None:
+        return centroids
+    cb = read_codebook(spark, path)
+    return ivf_centroids() if cb is None else cb
+
+
 def write_ivf_table(emb: DataFrame, path: str,
                     centroids: np.ndarray | None = None) -> None:
     """Materialize the embedding table partitioned by nearest-centroid cell.
@@ -243,12 +296,47 @@ def write_ivf_table(emb: DataFrame, path: str,
     expression (`ivf_assign_col`), the write clusters each cell into its own
     directory, and `ivf_topk_table` probes become parquet PARTITION PRUNING
     — nprobe/C of the bytes are even opened, vs the full-scan filter of
-    `ivf_topk` on an unindexed table."""
+    `ivf_topk` on an unindexed table.  The codebook is persisted as a
+    sidecar so later readers and appends share the training-time cells."""
     centroids = ivf_centroids() if centroids is None else centroids
     (
         emb.withColumn("ivf_cell", ivf_assign_col(F.col("embedding"), centroids))
         .write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
     )
+    write_codebook(emb.sparkSession, path, centroids)
+
+
+def append_ivf_table(spark, path: str, new_emb: DataFrame,
+                     dedup: bool = True, timeout_s: float = 120.0) -> int:
+    """Index maintenance: append new vectors into an existing IVF layout —
+    assignment uses the table's PERSISTED codebook (cells must match the
+    resident rows or probes would miss them), the whole read-check-append
+    runs under the table commit lock (prepare.commit_lock: owner-fenced,
+    dead-writer swept), and `dedup` anti-joins resident vec_ids so replays
+    are idempotent.  The anti-join reads ONE pruned column of the table;
+    the append itself is a partitionBy write that only touches the cells
+    the new vectors land in.  Returns the number of rows appended."""
+    from ..prepare import commit_lock
+
+    cb = read_codebook(spark, path)
+    if cb is None:
+        raise ValueError(f"{path} has no {CODEBOOK_FILE}; "
+                         "write_ivf_table it first")
+    with commit_lock(spark, path, timeout_s=timeout_s):
+        add = new_emb
+        if dedup:
+            resident = spark.read.parquet(path).select("vec_id")
+            add = add.join(resident, "vec_id", "left_anti")
+        assigned = add.withColumn(
+            "ivf_cell", ivf_assign_col(F.col("embedding"), cb)).persist()
+        try:
+            n = assigned.count()  # materialize ONCE: count + write share it
+            if n:
+                assigned.write.mode("append") \
+                    .partitionBy("ivf_cell").parquet(path)
+        finally:
+            assigned.unpersist()
+        return n
 
 
 def ivf_topk_table(spark, path: str, qvec, k: int = 10,
@@ -256,8 +344,9 @@ def ivf_topk_table(spark, path: str, qvec, k: int = 10,
                    nprobe: int = DEFAULT_NPROBE) -> DataFrame:
     """Approximate top-k over a `write_ivf_table` layout: read only the
     query's top-nprobe centroid partitions (directory pruning, verified in
-    tests/test_strategies.py by PartitionFilters), re-rank exactly."""
-    centroids = ivf_centroids() if centroids is None else centroids
+    tests/test_strategies.py by PartitionFilters), re-rank exactly.  With
+    centroids=None the table's persisted codebook is used."""
+    centroids = _table_centroids(spark, path, centroids)
     q = np.asarray(qvec, dtype=np.float64)
     probe = np.argsort(-(centroids @ q), kind="stable")[:nprobe]
     cand = spark.read.parquet(path).filter(
@@ -482,8 +571,8 @@ def batch_topk_ivf_table(spark, path: str, queries: DataFrame, k: int = 10,
     probes' — the batch analogue of `ivf_topk_table`'s static pruning; a
     probe set concentrated on few cells opens few files however large the
     table.  The brute fence re-reads the full table only for under-filled
-    queries."""
-    centroids = ivf_centroids() if centroids is None else centroids
+    queries.  With centroids=None the table's persisted codebook is used."""
+    centroids = _table_centroids(spark, path, centroids)
     q = _norm_queries(queries, query_id, qvec_col)
     a = spark.read.parquet(path).select(
         "vec_id", "embedding", "ivf_cell",

@@ -134,3 +134,47 @@ def test_unbroadcast_path_same_result(emb, queries):
                        broadcast_queries=False)
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_codebook_sidecar_and_append(spark, emb, tmp_path):
+    """Index maintenance: the codebook travels with the table, appends
+    assign with the PERSISTED codebook under the commit lock, replays are
+    idempotent, and queries over the grown table see the new vectors."""
+    import numpy as np
+
+    cents = ANN.ivf_train(
+        np.asarray([r.embedding for r in
+                    emb.orderBy("vec_id").limit(200).collect()]), 16)
+    path = str(tmp_path / "ivf_m")
+    old_rows = emb.filter(F.col("vec_id") < 400)
+    new_rows = emb.filter(F.col("vec_id") >= 400)
+    ANN.write_ivf_table(old_rows, path, cents)
+
+    got = ANN.read_codebook(spark, path)
+    assert got is not None and np.allclose(got, cents)
+
+    n = ANN.append_ivf_table(spark, path, new_rows)
+    assert n == new_rows.count()
+    # replay (same delta) appends nothing — dedup anti-join
+    assert ANN.append_ivf_table(spark, path, new_rows) == 0
+    assert spark.read.parquet(path).count() == emb.count()
+
+    # centroids=None reads the sidecar: results equal the explicit-codebook
+    # query, and appended vectors are reachable through their cells
+    q = ANN.query_vector()
+    a = ANN.ivf_topk_table(spark, path, q, 10, nprobe=16)
+    b = ANN.ivf_topk_table(spark, path, q, 10, centroids=cents, nprobe=16)
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+    # nprobe=C makes the table path exact: must equal brute force over ALL
+    # rows (old + appended)
+    brute = ANN.brute_topk(emb, q, 10)
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in brute.collect()]
+
+
+def test_append_requires_codebook(spark, emb, tmp_path):
+    path = str(tmp_path / "ivf_legacy")
+    # legacy layout: partitioned parquet without the sidecar
+    emb.limit(10).withColumn(
+        "ivf_cell", F.lit(0)).write.partitionBy("ivf_cell").parquet(path)
+    with pytest.raises(ValueError, match="codebook"):
+        ANN.append_ivf_table(spark, path, emb.limit(5))
