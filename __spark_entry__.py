@@ -712,6 +712,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _emb(spark, sf)
         return ANN.batch_topk_brute(emb, _batch_queries(emb, 7), 10)
 
+    def ann_batch_mmr(spark, sf):
+        # MMR diversity re-rank over the batch pool: greedy relevance-vs-
+        # redundancy pick is not SQL-expressible — rows-only driver check;
+        # tests/test_ann_batch.py owns exactness (lam=1 degeneracy, the
+        # diverse-runner-up case, partitioning invariance)
+        emb = _emb(spark, sf)
+        pool = ANN.batch_topk_brute(emb, _batch_queries(emb, 7), 20)
+        return ANN.mmr_rerank(emb, pool, 5, lam=0.7)
+
     def ann_batch_ivf(spark, sf):
         # IVF-cell batch top-k: both sides assigned to the 16-centroid
         # codebook, each query exploded into its top-nprobe cells (JVM
@@ -988,6 +997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_batch_top10": ann_batch,
         "ann_batch_brute_top10": ann_batch_brute,
         "ann_batch_ivf_top10": ann_batch_ivf,
+        "ann_batch_mmr_top5": ann_batch_mmr,
         "compact_identity": compact_identity,
         # -- round 5 ----------------------------------------------------
         "pois_batch_knn": pois_batch_knn,

@@ -156,6 +156,9 @@ def main(argv=None):
     sba.add_argument("--centroids", type=int, default=256,
                      help="IVF: codebook size (trained on a driver sample)")
     sba.add_argument("--nprobe", type=int, default=4)
+    sba.add_argument("--mmr", type=float, default=None, metavar="LAMBDA",
+                     help="diversity re-rank the pool with MMR at this "
+                          "lambda (pool size becomes 4*k before the pick)")
 
     sf = sub.add_parser("frames", help="sample video/image frames (AVI real)")
     sf.add_argument("--images", required=True, help="payload parquet path")
@@ -292,8 +295,9 @@ def main(argv=None):
 
         emb = spark.read.parquet(args.emb)
         qdf = spark.read.parquet(args.queries)
+        k = args.k if args.mmr is None else 4 * args.k
         if args.method == "brute":
-            out = ANN.batch_topk_brute(emb, qdf, args.k)
+            out = ANN.batch_topk_brute(emb, qdf, k)
         elif args.method == "ivf":
             n = emb.count()
             frac = min(1.0, 100_000 / max(n, 1))
@@ -302,16 +306,18 @@ def main(argv=None):
                 .select("embedding").toPandas()["embedding"].tolist()
             )
             cb = ANN.ivf_train(sample, n_centroids=args.centroids)
-            out = ANN.batch_topk_ivf(emb, qdf, args.k, cb,
+            out = ANN.batch_topk_ivf(emb, qdf, k, cb,
                                      nprobe=args.nprobe)
         else:
             planes = ANN.auto_hyperplanes(
                 emb, target_bucket=args.target_bucket)
-            out = ANN.batch_topk(emb, qdf, args.k, planes)
+            out = ANN.batch_topk(emb, qdf, k, planes)
+        if args.mmr is not None:
+            out = ANN.mmr_rerank(emb, out, args.k, lam=args.mmr)
         out.write.mode("overwrite").parquet(args.out)
         n_out = spark.read.parquet(args.out).count()
         print(json.dumps({"method": args.method, "k": args.k,
-                          "rows": n_out, "out": args.out}))
+                          "mmr": args.mmr, "rows": n_out, "out": args.out}))
     elif args.cmd == "image-dedup":
         from pyspark.sql import functions as F
 

@@ -593,6 +593,54 @@ def batch_topk_ivf_table(spark, path: str, queries: DataFrame, k: int = 10,
     return _fill_underfilled(emb, q, topk, k)
 
 
+_MMR_SCHEMA = "query_id long, vec_id long, cosine double, mmr_rank int"
+
+
+def mmr_rerank(emb: DataFrame, topk: DataFrame, k: int,
+               lam: float = 0.5) -> DataFrame:
+    """Maximal-Marginal-Relevance re-rank of a batch top-k result: from each
+    query's candidate pool (a `batch_topk*` output with pool size > k) pick
+    k results greedily by `lam * relevance - (1-lam) * max-sim-to-selected`
+    — the diversity step a retrieval-augmented training pipeline runs so k
+    near-identical neighbours don't crowd out coverage.  lam=1 degenerates
+    to the plain relevance order.
+
+    Shape for scale: ONE equi-join fetches candidate vectors (the pool is
+    N*K' rows — never the corpus), then applyInPandas per query_id; the
+    greedy loop is inherently sequential but each group is <= K' rows, so
+    the cost is O(N * K'^2 * dim) spread over the cluster.  Deterministic:
+    ties break on lowest vec_id.
+    """
+    import pandas as pd
+
+    cand = topk.join(emb.select("vec_id", "embedding"), "vec_id")
+
+    def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms[:, None]
+        rel = pdf["cosine"].to_numpy()
+        ids = pdf["vec_id"].to_numpy()
+        n = len(pdf)
+        chosen: list[int] = []
+        max_sim = np.zeros(n)
+        remaining = np.ones(n, dtype=bool)
+        for _ in range(min(k, n)):
+            score = lam * rel - (1.0 - lam) * max_sim
+            # lowest vec_id wins ties: scan candidates in vec_id order
+            order = np.lexsort((ids, -score))
+            pick = next(i for i in order if remaining[i])
+            chosen.append(pick)
+            remaining[pick] = False
+            max_sim = np.maximum(max_sim, unit @ unit[pick])
+        out = pdf.iloc[chosen][["query_id", "vec_id", "cosine"]].copy()
+        out["mmr_rank"] = range(1, len(chosen) + 1)
+        return out
+
+    return cand.groupBy("query_id").applyInPandas(_mmr, schema=_MMR_SCHEMA)
+
+
 def cosine_components(emb: DataFrame, threshold: float = 0.9,
                       planes: np.ndarray | None = None,
                       max_bucket: int | None = None,

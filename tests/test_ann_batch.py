@@ -178,3 +178,38 @@ def test_append_requires_codebook(spark, emb, tmp_path):
         "ivf_cell", F.lit(0)).write.partitionBy("ivf_cell").parquet(path)
     with pytest.raises(ValueError, match="codebook"):
         ANN.append_ivf_table(spark, path, emb.limit(5))
+
+
+def test_mmr_lambda1_is_relevance_order(spark, emb, queries):
+    pool = ANN.batch_topk_brute(emb, queries, k=10)
+    got = ANN.mmr_rerank(emb, pool, k=5, lam=1.0)
+    plain = _as_map(pool.collect())
+    for q, rows in _as_map(got.collect()).items():
+        assert rows == plain[q][:5]
+
+
+def test_mmr_prefers_diverse_runner_up(spark):
+    # q aligned with e1; e2 is a near-copy of e1; e3 distinct but relevant.
+    # Pure relevance ranks (e1, e2); MMR at lam=0.5 must pick e3 second.
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.04, 0.0, 0.0]),
+        (3, [0.6, 0.0, 0.8, 0.0]),
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>")
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], "query_id long, qvec array<float>")
+    pool = ANN.batch_topk_brute(emb, q, k=3)
+    got = sorted(ANN.mmr_rerank(emb, pool, k=2, lam=0.5).collect(),
+                 key=lambda r: r.mmr_rank)
+    assert [r.vec_id for r in got] == [1, 3]
+
+
+def test_mmr_deterministic_under_repartition(spark, emb, queries):
+    pool = ANN.batch_topk_brute(emb, queries, k=10)
+    a = sorted(map(tuple, ANN.mmr_rerank(emb, pool, k=5).collect()))
+    b = sorted(map(tuple, ANN.mmr_rerank(
+        emb.repartition(7), pool.repartition(5), k=5).collect()))
+    assert a == b
