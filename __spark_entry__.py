@@ -608,6 +608,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return TX.curate(_docs(spark, sf), min_quality=0.5, langs=("en",),
                          max_bucket=3)
 
+    def curate_repetition(spark, sf):
+        # the full curation chain WITH the repetition ceiling — Gopher-style
+        # boilerplate gate composed into exact-dedup + near-dup + quality +
+        # lang (threshold 0.5 genuinely drops high-dup survivors at both
+        # gate scales)
+        return TX.curate(_docs(spark, sf), min_quality=0.5, langs=("en",),
+                         max_dup_word_frac=0.5)
+
     def ann_components(spark, sf):
         # embedding near-dup clusters: the shared connected-components core
         # over cosine_pairs edges (graph.connected_components) vs the same
@@ -994,6 +1002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_cap_source": docs_cap_source,
         "docs_sample_mix": docs_sample_mix,
         "docs_pack_bins": docs_pack_bins,
+        "curate_repetition": curate_repetition,
         "ann_batch_top10": ann_batch,
         "ann_batch_brute_top10": ann_batch_brute,
         "ann_batch_ivf_top10": ann_batch_ivf,
@@ -1334,6 +1343,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition": _sql_repetition(),
         "docs_cap_source": _sql_cap_source(10),
         "docs_sample_mix": _sql_sample_mix(),
+        "curate_repetition": _sql_curate(max_dup_word_frac=0.5),
         # docs_pack_bins: greedy first-fit packing is not SQL-expressible —
         # rows-only driver check; invariants owned by tests/test_curation.py
     }
@@ -1593,18 +1603,28 @@ def _sql_near_dup(max_bucket: int | None = None) -> str:
     )
 
 
-def _sql_curate(max_bucket: int | None = None) -> str:
-    # the four gates of TX.curate as one CTE chain over the documents table
+def _sql_curate(max_bucket: int | None = None,
+                max_dup_word_frac: float | None = None) -> str:
+    # the gates of TX.curate as one CTE chain over the documents table
+    rep_cte = rep_join = ""
+    if max_dup_word_frac is not None:
+        rep_cte = (
+            f", rep AS (SELECT doc_id FROM ({_sql_repetition()}) rr "
+            f"WHERE dup_word_frac <= {max_dup_word_frac!r}) "
+        )
+        rep_join = "JOIN rep ON rep.doc_id = d.doc_id "
     return (
         "WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)), "
         f"losers AS (SELECT DISTINCT doc_b AS doc_id FROM ({_sql_near_dup(max_bucket)}) nd), "
         f"q AS (SELECT doc_id, quality FROM ({_sql_quality()}) qq), "
-        f"l AS (SELECT doc_id, pred_lang FROM ({_sql_lang_id()}) ll) "
+        f"l AS (SELECT doc_id, pred_lang FROM ({_sql_lang_id()}) ll)"
+        f"{rep_cte} "
         "SELECT d.doc_id, l.pred_lang, q.quality FROM documents d "
         "JOIN keep ON keep.doc_id = d.doc_id "
         "LEFT JOIN losers ON losers.doc_id = d.doc_id "
         "JOIN q ON q.doc_id = d.doc_id "
         "JOIN l ON l.doc_id = d.doc_id "
+        f"{rep_join}"
         "WHERE losers.doc_id IS NULL AND q.quality >= 0.5 AND l.pred_lang IN ('en')"
     )
 

@@ -282,11 +282,15 @@ def near_dup_components(docs: DataFrame, threshold: float = 0.2, n: int = 5,
 
 def curate(docs: DataFrame, min_quality: float = 0.5, langs: tuple = ("en",),
            jaccard_threshold: float = 0.2,
-           max_bucket: int | None = None, clusters: bool = False) -> DataFrame:
+           max_bucket: int | None = None, clusters: bool = False,
+           max_dup_word_frac: float | None = None,
+           max_top_bigram_frac: float | None = None) -> DataFrame:
     """Training-data curation pipeline — the composition a 100 TB ingest
     actually runs: keep docs that are (a) the exact-dedup survivor of their
     text hash, (b) not a near-duplicate loser, (c) above the quality floor,
-    (d) in an accepted language.
+    (d) in an accepted language, and optionally (e) below the repetition
+    ceilings (`max_dup_word_frac` / `max_top_bigram_frac` against
+    curation.repetition_signals — the Gopher-style boilerplate gate).
 
     Near-dup semantics (b) has two modes:
       * clusters=False (default): the larger doc_id of each Jaccard PAIR is
@@ -316,7 +320,7 @@ def curate(docs: DataFrame, min_quality: float = 0.5, langs: tuple = ("en",),
         )
     q = quality_score(docs).select("doc_id", "quality")
     lang = lang_id(docs).select("doc_id", "pred_lang")
-    return (
+    out = (
         docs.select("doc_id")
         .join(keep_exact, "doc_id")                     # exact-dup survivor
         .join(near_losers, "doc_id", "left_anti")       # near-dup loser drop
@@ -325,6 +329,17 @@ def curate(docs: DataFrame, min_quality: float = 0.5, langs: tuple = ("en",),
         .filter((F.col("quality") >= min_quality) & F.col("pred_lang").isin(list(langs)))
         .select("doc_id", "pred_lang", "quality")
     )
+    if max_dup_word_frac is not None or max_top_bigram_frac is not None:
+        from .curation import repetition_signals
+
+        rep = repetition_signals(docs)
+        cond = F.lit(True)
+        if max_dup_word_frac is not None:
+            cond &= F.col("dup_word_frac") <= max_dup_word_frac
+        if max_top_bigram_frac is not None:
+            cond &= F.col("top_bigram_frac") <= max_top_bigram_frac
+        out = out.join(rep.filter(cond).select("doc_id"), "doc_id")
+    return out
 
 
 def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:

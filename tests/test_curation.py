@@ -104,3 +104,18 @@ def test_pack_sequences_oversize_policies(spark):
     assert sum(1 for r in own.collect() if r.bin_id == big_bin) == 1
     dropped = CU.pack_sequences(docs, budget=10, buckets=2, oversize="drop")
     assert [r.doc_id for r in dropped.collect()] == [1]
+
+
+def test_curate_repetition_ceiling_subsets(spark):
+    from openpoiservice_spark.operators import text as TX
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = {r.doc_id for r in TX.curate(docs).collect()}
+    tight = {r.doc_id for r in
+             TX.curate(docs, max_dup_word_frac=0.5).collect()}
+    loose = {r.doc_id for r in
+             TX.curate(docs, max_dup_word_frac=0.9).collect()}
+    assert tight < loose <= base  # monotone in the ceiling, strict at 0.5
+    both = {r.doc_id for r in
+            TX.curate(docs, max_dup_word_frac=0.5,
+                      max_top_bigram_frac=0.05).collect()}
+    assert both <= tight
