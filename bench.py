@@ -38,6 +38,7 @@ from openpoiservice_spark import tiles as TI  # noqa: E402
 from openpoiservice_spark.functions import (cell_parent_sql, isin_expr,  # noqa: E402
                                              make_refine_udf)
 from openpoiservice_spark.operators import ann as ANN  # noqa: E402
+from openpoiservice_spark.operators import curation as CU  # noqa: E402
 from openpoiservice_spark.operators import text as TX  # noqa: E402
 from openpoiservice_spark.session import get_spark  # noqa: E402
 
@@ -360,6 +361,10 @@ def run_queries(spark, prepared: str, sf_dir: str) -> tuple[dict, dict]:
         # explode (round-5 verdict item 5's measurable surface)
         ("near_dup_jaccard",
          lambda: TX.ngram_jaccard_pairs(docs).count(), None),
+        # round-6 curation surface: the explode -> per-(doc, term) map-side
+        # combine -> per-doc agg shape (repetition filters)
+        ("doc_repetition",
+         lambda: CU.repetition_signals(docs).count(), None),
         ("ann_brute_top10",
          lambda: ANN.brute_topk(emb, ANN.query_vector(), 10).count(), None),
         # batch embedding top-k: every vector as a probe, one job (plane
