@@ -43,6 +43,12 @@ def main():
             sdf = qs[name](spark, sf_dir)
             srows = sdf.collect()
             cols = sorted(sdf.columns)
+            if name not in os_:
+                # rows-only gate (no SQL twin) — mirror the driver's weaker
+                # check: ran, stable schema, >= 0 rows
+                print(f"{name}: rows {len(srows)} cols {cols} "
+                      "(rows-only, no oracle) -> OK")
+                continue
             odf = con.execute(os_[name]).fetch_df()
             orows = odf.to_dict("records")
             ocols = sorted(odf.columns)
