@@ -647,6 +647,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # transitive-closure twin — cluster-correct dedup/split keys
         return TX.near_dup_components(_docs(spark, sf))
 
+    def split_by_component(spark, sf):
+        # the NEAR-dup leakage guard: the split hash keys on the connected-
+        # component label, so a whole near-dup cluster lands on ONE side of
+        # the train/test boundary (by_content only guarantees that for
+        # exact duplicates); singletons key on their own doc_id
+        return TX.split_by_component(_docs(spark, sf), test_pct=20)
+
     def ann_brute(spark, sf):
         return ANN.brute_topk(_emb(spark, sf), _QVEC, 10)
 
@@ -998,6 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verdict item 1 — 5 rounds of green driver rows stand behind the tail).
     return {
         # -- round 6 (newest) -------------------------------------------
+        "split_by_component": split_by_component,
         "doc_repetition": doc_repetition,
         "docs_cap_source": docs_cap_source,
         "docs_sample_mix": docs_sample_mix,
@@ -1302,6 +1310,7 @@ def oracle_sql() -> dict[str, str]:
         "train_test_split": _sql_split("CAST(doc_id AS VARCHAR)"),
         "split_by_content": _sql_split("coalesce(text, '')"),
         "near_dup_components": _sql_components(),
+        "split_by_component": _sql_split_component(),
         "curate_clusters": _sql_curate_clusters(),
         "ann_components": _sql_ann_components(),
         "lsh_pairs_capped": (
@@ -1652,6 +1661,17 @@ def _sql_components() -> str:
         "SELECT doc_id, least(doc_id, coalesce("
         "(SELECT min(d) FROM reach WHERE s = doc_id), doc_id)) AS component "
         "FROM documents"
+    )
+
+
+def _sql_split_component(test_pct: int = 20, salt: str = "split:v1") -> str:
+    """split_by_component twin: the recursive-CTE component label feeds the
+    same h32(salt || key) % 100 bucket arithmetic as _sql_split."""
+    h = D.sql_h32(f"concat('{salt}', CAST(component AS VARCHAR))")
+    return (
+        f"SELECT doc_id, CASE WHEN ({h}) % 100 < {test_pct} "
+        f"THEN 'test' ELSE 'train' END AS split "
+        f"FROM ({_sql_components()}) c"
     )
 
 

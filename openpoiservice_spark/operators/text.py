@@ -252,6 +252,29 @@ def deterministic_split(docs: DataFrame, test_pct: int = 20,
         .alias("split"))
 
 
+def split_by_component(docs: DataFrame, test_pct: int = 20,
+                       threshold: float = 0.2, n: int = 5,
+                       max_bucket: int | None = None,
+                       salt: str = "split:v1") -> DataFrame:
+    """Component-keyed train/test split — the NEAR-duplicate leakage guard:
+    the split hash keys on each document's `near_dup_components` label, so
+    a whole near-dup cluster lands on ONE side of the boundary (by_content
+    only guarantees that for EXACT duplicates).  Singletons key on their own
+    doc_id (their component label), so the marginal split rate is unchanged.
+    Same h32(salt || key) % 100 arithmetic as `deterministic_split` — the
+    DuckDB twin composes the closure CTE with the split expression."""
+    if not 0 <= test_pct <= 100:
+        raise ValueError("test_pct must be in [0, 100]")
+    comp = near_dup_components(docs, threshold, n, max_bucket=max_bucket)
+    bucket = F.pmod(
+        _h32(F.concat(F.lit(salt), F.col("component").cast("string"))),
+        F.lit(100))
+    return comp.select(
+        "doc_id",
+        F.when(bucket < test_pct, F.lit("test")).otherwise(F.lit("train"))
+        .alias("split"))
+
+
 def near_dup_components(docs: DataFrame, threshold: float = 0.2, n: int = 5,
                         k: int = 8, bands: int = 2,
                         max_bucket: int | None = None,

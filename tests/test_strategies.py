@@ -364,6 +364,45 @@ def test_split_null_text_and_content_col(spark):
     assert got2[1] == got2[2]
 
 
+def test_split_by_component_leakage_guard(spark):
+    """split_by_component keys the split hash on the near-dup COMPONENT
+    label: every doc in a connected component co-travels (the near-dup
+    leakage guard by_content can't give), and singletons — whose component
+    is their own doc_id — get exactly the id-keyed deterministic_split
+    assignment, so the marginal rate is unchanged."""
+    from collections import Counter
+
+    from openpoiservice_spark.operators import text as TX
+
+    rows = []
+    for c in range(8):  # 8 near-dup clusters with disjoint vocabularies
+        base = " ".join(f"tok{c}x{t}word" for t in range(20))
+        for j in range(3):
+            rows.append((c * 10 + j, base + " tail" * j))
+    for i in range(200, 240):  # singletons, unique vocab each
+        rows.append((i, " ".join(f"solo{i}y{t}" for t in range(12))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    comp = {r.doc_id: r.component
+            for r in TX.near_dup_components(docs, threshold=0.2, n=5).collect()}
+    split = {r.doc_id: r.split
+             for r in TX.split_by_component(docs, 30, threshold=0.2,
+                                            n=5).collect()}
+    assert set(split) == set(comp)  # one row per doc
+    sizes = Counter(comp.values())
+    assert max(sizes.values()) >= 3  # fixture really formed clusters
+    side = {}
+    for d, c in comp.items():
+        assert side.setdefault(c, split[d]) == split[d]  # clusters co-travel
+    # singleton assignment == id-keyed deterministic split (same salt)
+    id_split = {r.doc_id: r.split
+                for r in TX.deterministic_split(docs, 30).collect()}
+    singles = [d for d, c in comp.items() if c == d and sizes[c] == 1]
+    assert singles and all(split[d] == id_split[d] for d in singles)
+    with pytest.raises(ValueError):
+        TX.split_by_component(docs, 101)
+
+
 def test_jaccard_pipeline_single_shingle_explode(spark):
     """Round-5 verdict item 5: ngram_jaccard_pairs derives signatures,
     sizes, and intersections from ONE shared shingle frame — the plan shows
