@@ -654,6 +654,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact duplicates); singletons key on their own doc_id
         return TX.split_by_component(_docs(spark, sf), test_pct=20)
 
+    def ivf_cell_stats(spark, sf):
+        # IVF occupancy histogram (the retrain-trigger observability op):
+        # one codebook-assignment expression + one partial-agg groupBy
+        return ANN.ivf_cell_stats(_emb(spark, sf), _CENTROIDS)
+
     def ann_brute(spark, sf):
         return ANN.brute_topk(_emb(spark, sf), _QVEC, 10)
 
@@ -1005,6 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verdict item 1 — 5 rounds of green driver rows stand behind the tail).
     return {
         # -- round 6 (newest) -------------------------------------------
+        "ivf_cell_stats": ivf_cell_stats,
         "split_by_component": split_by_component,
         "doc_repetition": doc_repetition,
         "docs_cap_source": docs_cap_source,
@@ -1311,6 +1317,7 @@ def oracle_sql() -> dict[str, str]:
         "split_by_content": _sql_split("coalesce(text, '')"),
         "near_dup_components": _sql_components(),
         "split_by_component": _sql_split_component(),
+        "ivf_cell_stats": _sql_ivf_cell_stats(),
         "curate_clusters": _sql_curate_clusters(),
         "ann_components": _sql_ann_components(),
         "lsh_pairs_capped": (
@@ -1803,6 +1810,26 @@ def _sql_ann_ivf() -> str:
         f"SELECT vec_id, round({_sql_cosine('embedding', _QVEC)}, 6) AS cosine "
         f"FROM a WHERE ivf_cell IN ({probes}) "
         "ORDER BY cosine DESC, vec_id LIMIT 10"
+    )
+
+
+def _sql_ivf_cell_stats() -> str:
+    """ivf_cell_stats twin: the same 16-centroid argmax assignment as
+    `_sql_ann_ivf` (lowest-index tie-break via the CASE chain), grouped
+    into the occupancy histogram."""
+    n = len(_CENTROIDS)
+    dots = ", ".join(
+        f"{_sql_dot('embedding', c)} AS d{i}" for i, c in enumerate(_CENTROIDS)
+    )
+    best = "greatest(" + ", ".join(f"d{i}" for i in range(n)) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN d{i} = best THEN {i}" for i in range(n - 1)
+    ) + f" ELSE {n - 1} END"
+    return (
+        f"WITH d AS (SELECT vec_id, embedding, {dots} FROM embeddings), "
+        f"b AS (SELECT *, {best} AS best FROM d), "
+        f"a AS (SELECT {case} AS ivf_cell FROM b) "
+        "SELECT ivf_cell, count(*) AS n_vecs FROM a GROUP BY ivf_cell"
     )
 
 

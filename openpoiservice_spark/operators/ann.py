@@ -672,6 +672,34 @@ def bucket_stats(emb: DataFrame, planes: np.ndarray | None = None) -> DataFrame:
               .agg(F.count("*").alias("n_vecs"))
 
 
+def ivf_cell_stats(emb: DataFrame,
+                   centroids: np.ndarray | None = None) -> DataFrame:
+    """(ivf_cell, n_vecs) occupancy histogram for a codebook over an
+    UNindexed embedding table — the IVF observability companion of
+    `bucket_stats`: one JVM assignment expression + one partial-agg
+    groupBy.  Feed it the table's sidecar codebook to preview how a
+    retrain would redistribute cells."""
+    centroids = ivf_centroids() if centroids is None else centroids
+    return (emb
+            .groupBy(ivf_assign_col(F.col("embedding"), centroids)
+                     .alias("ivf_cell"))
+            .agg(F.count("*").alias("n_vecs")))
+
+
+def ivf_table_stats(spark, path: str) -> DataFrame:
+    """Occupancy histogram of a WRITTEN IVF table, counting by the
+    partition directory key: the scan prunes every data column (vector
+    bytes are never read — counts come from parquet row-group metadata +
+    the directory-derived `ivf_cell`), so this is cheap enough to run
+    after every `append_ivf_table` as the retrain trigger.  A max/mean
+    ratio drifting ≫1 means appended vectors are crowding a few cells and
+    probe cost is degrading toward a scan — time to `ivf_train` a fresh
+    codebook and rewrite."""
+    return (spark.read.parquet(path)
+            .groupBy(F.col("ivf_cell").cast("int").alias("ivf_cell"))
+            .agg(F.count("*").alias("n_vecs")))
+
+
 def cosine_pairs(emb: DataFrame, threshold: float = 0.9,
                  planes: np.ndarray | None = None,
                  max_bucket: int | None = None) -> DataFrame:

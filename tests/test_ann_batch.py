@@ -213,3 +213,29 @@ def test_mmr_deterministic_under_repartition(spark, emb, queries):
     b = sorted(map(tuple, ANN.mmr_rerank(
         emb.repartition(7), pool.repartition(5), k=5).collect()))
     assert a == b
+
+
+def test_ivf_cell_stats_table_matches_column_variant(spark, emb, tmp_path):
+    """ivf_table_stats (directory-key counts over the written layout) ==
+    ivf_cell_stats (codebook assignment over the raw table), including
+    after an append — and the table scan reads NO vector bytes (the plan's
+    ReadSchema prunes to the partition key)."""
+    import numpy as np
+
+    cents = ANN.ivf_train(
+        np.asarray([r.embedding for r in
+                    emb.orderBy("vec_id").limit(200).collect()]), 16)
+    path = str(tmp_path / "ivf_stats")
+    ANN.write_ivf_table(emb.filter(F.col("vec_id") < 400), path, cents)
+    ANN.append_ivf_table(spark, path, emb.filter(F.col("vec_id") >= 400))
+
+    table = {(r.ivf_cell, r.n_vecs)
+             for r in ANN.ivf_table_stats(spark, path).collect()}
+    column = {(r.ivf_cell, r.n_vecs)
+              for r in ANN.ivf_cell_stats(emb, cents).collect()}
+    assert table == column
+    assert sum(n for _, n in table) == emb.count()
+
+    plan = _plan(ANN.ivf_table_stats(spark, path))
+    assert "ReadSchema: struct<>" in plan  # vector/id columns pruned
+    assert "HashAggregate" in plan  # partial agg, not a global sort
