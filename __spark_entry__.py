@@ -654,6 +654,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact duplicates); singletons key on their own doc_id
         return TX.split_by_component(_docs(spark, sf), test_pct=20)
 
+    def doc_contamination(spark, sf):
+        # benchmark decontamination signal: per-corpus-doc distinct-shingle
+        # overlap with a held-out eval slice (doc_id % 37 == 1); the eval
+        # side is distinct-projected (broadcast-sized) before the join
+        d = _docs(spark, sf)
+        bench = d.filter(F.col("doc_id") % 37 == 1)
+        corpus = d.filter(F.col("doc_id") % 37 != 1)
+        return TX.contamination(corpus, bench)
+
     def ivf_cell_stats(spark, sf):
         # IVF occupancy histogram (the retrain-trigger observability op):
         # one codebook-assignment expression + one partial-agg groupBy
@@ -1010,6 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verdict item 1 — 5 rounds of green driver rows stand behind the tail).
     return {
         # -- round 6 (newest) -------------------------------------------
+        "doc_contamination": doc_contamination,
         "ivf_cell_stats": ivf_cell_stats,
         "split_by_component": split_by_component,
         "doc_repetition": doc_repetition,
@@ -1318,6 +1328,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_components": _sql_components(),
         "split_by_component": _sql_split_component(),
         "ivf_cell_stats": _sql_ivf_cell_stats(),
+        "doc_contamination": _sql_contamination(),
         "curate_clusters": _sql_curate_clusters(),
         "ann_components": _sql_ann_components(),
         "lsh_pairs_capped": (
@@ -1810,6 +1821,23 @@ def _sql_ann_ivf() -> str:
         f"SELECT vec_id, round({_sql_cosine('embedding', _QVEC)}, 6) AS cosine "
         f"FROM a WHERE ivf_cell IN ({probes}) "
         "ORDER BY cosine DESC, vec_id LIMIT 10"
+    )
+
+
+def _sql_contamination() -> str:
+    """doc_contamination twin: the shingle CTE split into the eval slice
+    (doc_id % 37 = 1, distinct shingles) and the corpus; per-corpus-doc
+    semi-join hit count over distinct shingles, left-joined onto sizes."""
+    return (
+        f"WITH {_sql_shingles_cte()}, "
+        "b AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 37 = 1), "
+        "c AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 37 <> 1), "
+        "sizes AS (SELECT doc_id, count(*) AS n_sh FROM c GROUP BY 1), "
+        "hits AS (SELECT doc_id, count(*) AS n_hits FROM c "
+        "WHERE shingle IN (SELECT shingle FROM b) GROUP BY 1) "
+        "SELECT s.doc_id, coalesce(h.n_hits, 0) AS n_hits, s.n_sh, "
+        "round(coalesce(h.n_hits, 0) / s.n_sh, 6) AS frac "
+        "FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id"
     )
 
 

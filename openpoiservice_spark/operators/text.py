@@ -218,6 +218,52 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.2, n: int = 5,
     return out
 
 
+def contamination(docs: DataFrame, benchmark: DataFrame, n: int = 5,
+                  shingles_df: DataFrame | None = None) -> DataFrame:
+    """Benchmark-contamination signal: for every corpus doc, how much of it
+    appears verbatim in a held-out evaluation set.  Returns
+    (doc_id, n_hits, n_sh, frac) where n_hits = distinct n-gram shingles
+    the doc shares with ANY benchmark doc, n_sh = the doc's distinct
+    shingle count, frac = n_hits / n_sh (rounded to 6).
+
+    The decontamination step every training pipeline needs before eval
+    numbers mean anything (the reference has no analogue — this is the
+    LLM-data extension surface).  Scale shape: the benchmark side is
+    projected to DISTINCT shingles before the join — for a real eval suite
+    that side is tiny and Spark broadcasts it, so the corpus-side shingle
+    explode (shareable via shingles_df with the dedup pipeline's single
+    explode) never shuffles; corpus docs shorter than n have no shingles
+    and are absent from the result (decontaminate keeps them).
+    """
+    corpus_sh = shingles(docs, n) if shingles_df is None else shingles_df
+    bench_sh = shingles(benchmark, n).select("shingle").distinct()
+    per_doc = corpus_sh.join(bench_sh, "shingle", "left_semi") \
+        .groupBy("doc_id").agg(F.count("*").alias("n_hits"))
+    sizes = corpus_sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    return (
+        sizes.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            "n_sh",
+            F.round(F.coalesce("n_hits", F.lit(0)) / F.col("n_sh"), 6)
+            .alias("frac"),
+        )
+    )
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 5,
+                  max_frac: float = 0.5,
+                  shingles_df: DataFrame | None = None) -> DataFrame:
+    """Drop corpus docs whose benchmark n-gram overlap fraction exceeds
+    max_frac (strictly greater).  Docs too short to shingle carry no
+    overlap evidence and are KEPT.  Anti-join on the flagged ids — the
+    corpus never reshuffles."""
+    bad = contamination(docs, benchmark, n, shingles_df) \
+        .filter(F.col("frac") > max_frac).select("doc_id")
+    return docs.join(bad, "doc_id", "left_anti")
+
+
 def deterministic_split(docs: DataFrame, test_pct: int = 20,
                         key_col: str = "doc_id", by_content: bool = False,
                         salt: str = "split:v1",

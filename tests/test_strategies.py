@@ -450,3 +450,42 @@ def test_near_dup_components_transitivity(spark):
                                             bands=4).collect()}
     assert comp[1] == comp[2] == comp[3] == 1  # transitivity linked them
     assert comp[9] == 9
+
+
+def test_contamination_and_decontaminate(spark):
+    """contamination counts distinct shared shingles per corpus doc (exact
+    copy of a benchmark doc => frac 1.0; disjoint vocab => 0.0; partial
+    overlap strictly between), decontaminate drops only docs above
+    max_frac, and docs too short to shingle are kept."""
+    from openpoiservice_spark.operators import text as TX
+
+    bench = spark.createDataFrame(
+        [(1000, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),   # exact copy
+         (2, "zzz qqq vvv kkk www yyy xxx uuu"),               # disjoint
+         (3, "the quick brown fox went somewhere else today"), # partial
+         (4, "hi")],                                           # too short
+        "doc_id long, text string")
+
+    got = {r.doc_id: r for r in TX.contamination(corpus, bench).collect()}
+    assert set(got) == {1, 2, 3}  # doc 4 has no 5-gram shingles
+    assert got[1].frac == 1.0 and got[1].n_hits == got[1].n_sh
+    assert got[2].frac == 0.0 and got[2].n_hits == 0
+    assert 0.0 < got[3].frac < 1.0
+
+    kept = {r.doc_id
+            for r in TX.decontaminate(corpus, bench, max_frac=0.5).collect()}
+    assert kept == {2, 3, 4} or kept == {2, 4}  # doc 3 depends on threshold
+    assert kept == ({2, 3, 4} if got[3].frac <= 0.5 else {2, 4})
+    # threshold 0 drops everything with ANY overlap; short doc still kept
+    kept0 = {r.doc_id
+             for r in TX.decontaminate(corpus, bench, max_frac=0.0).collect()}
+    assert kept0 == {2, 4}
+    # shared-explode reuse path gives identical results
+    sh = TX.shingles(corpus)
+    a = sorted(map(tuple, TX.contamination(corpus, bench).collect()))
+    b = sorted(map(tuple,
+                   TX.contamination(corpus, bench, shingles_df=sh).collect()))
+    assert a == b
