@@ -77,6 +77,9 @@ _RESTRICT_IDS = sorted({cat for _, _, cat, _ in D.POOL})[:6]
 #: subset table (full-parity gate pois_category_new_leaf)
 _NEW_LEAF_IDS = (299, 488)
 _CENTROIDS = ANN.ivf_centroids(16, 64, seed=21)
+#: deterministic PQ sub-codebooks (m=8 subspaces x 16 centroids x 8 dims) —
+#: the gate twin replicates encode + ADC with the same literals
+_PQ_CB = ANN.pq_codebooks(8, 16, 64, seed=29)
 
 
 def _emb_rows(sf_dir: str) -> int:
@@ -680,6 +683,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ann_ivf(spark, sf):
         return ANN.ivf_topk(_emb(spark, sf), _QVEC, 10, _CENTROIDS, nprobe=2)
 
+    def ann_pq(spark, sf):
+        # PQ/ADC top-10: encode (per-subspace argmin over the literal
+        # codebook) + LUT scoring fused into one scan — the compressed-table
+        # ranking path that never reads vector bytes at 10^12 rows
+        return ANN.pq_topk(_emb(spark, sf), _QVEC, 10, _PQ_CB)
+
+    def ann_ivfpq(spark, sf):
+        # IVF cell pruning -> ADC shortlist -> exact cosine re-rank: the
+        # standard billion-scale composition, end-to-end under the oracle
+        return ANN.ivfpq_topk(_emb(spark, sf), _QVEC, 10, _CENTROIDS,
+                              _PQ_CB, nprobe=2, shortlist=4)
+
     def ann_lsh_auto(spark, sf):
         # size-aware plane count (round-3 verdict item 2): P derived from
         # the table row count so expected bucket size <= target — the
@@ -1019,6 +1034,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verdict item 1 — 5 rounds of green driver rows stand behind the tail).
     return {
         # -- round 6 (newest) -------------------------------------------
+        "ann_pq_top10": ann_pq,
+        "ann_ivfpq_top10": ann_ivfpq,
         "doc_contamination": doc_contamination,
         "ivf_cell_stats": ivf_cell_stats,
         "split_by_component": split_by_component,
@@ -1361,6 +1378,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_trained_top10": _sql_ann_ivf_trained(),
         "ann_lsh_auto_top10": _sql_ann_lsh(_auto_planes_for()),
         "ann_pairs_auto": _sql_ann_pairs(_auto_planes_for()),
+        "ann_pq_top10": _sql_ann_pq(),
+        "ann_ivfpq_top10": _sql_ann_ivfpq(),
         "ann_batch_top10": _sql_ann_batch(),
         "ann_batch_brute_top10": _sql_ann_batch_brute(),
         "ann_batch_ivf_top10": _sql_ann_batch_ivf(),
@@ -1821,6 +1840,102 @@ def _sql_ann_ivf() -> str:
         f"SELECT vec_id, round({_sql_cosine('embedding', _QVEC)}, 6) AS cosine "
         f"FROM a WHERE ivf_cell IN ({probes}) "
         "ORDER BY cosine DESC, vec_id LIMIT 10"
+    )
+
+
+def _pq_luts() -> list[list[float]]:
+    """Per-subspace ADC lookup tables lut[j][k] = <u_subj, C[j][k]> over
+    the UNIT query — the same driver-side doubles ANN.pq_adc_col ships as
+    literals (same numpy ops, so bit-identical)."""
+    m, ks, dsub = _PQ_CB.shape
+    q = np.asarray(_QVEC, dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    return [[float(np.dot(q[j * dsub:(j + 1) * dsub], _PQ_CB[j][kk]))
+             for kk in range(ks)] for j in range(m)]
+
+
+def _sql_pq_ctes(src: str, keep: str = "vec_id",
+                 carry_embedding: bool = False) -> str:
+    """CTE chain replicating ANN.pq_code_col over `src`: pqn = row norm
+    (the tier encodes the UNIT vector so ADC approximates cosine), pd{j} =
+    per-subspace distance lists (bias - 2*dot over embedding[i]/nrm, term
+    order matching the engine's left-fold), pqc.c{j} = argmin codes
+    (list_position = first match, the engine's array_position tie-break)."""
+    m, ks, dsub = _PQ_CB.shape
+    dists = []
+    for j in range(m):
+        terms = []
+        for kk in range(ks):
+            c = _PQ_CB[j][kk]
+            bias = float(np.dot(c, c))
+            dot = "(" + " + ".join(
+                f"(CAST(embedding[{j * dsub + i + 1}] AS DOUBLE) / nrm) * "
+                f"CAST({float(c[i])!r} AS DOUBLE)" for i in range(dsub)
+            ) + ")"
+            terms.append(f"(CAST({bias!r} AS DOUBLE) - "
+                         f"CAST('2.0' AS DOUBLE) * {dot})")
+        dists.append(f"list_value({', '.join(terms)}) AS pd{j}")
+    codes = ", ".join(
+        f"(list_position(pd{j}, list_min(pd{j})) - 1) AS c{j}"
+        for j in range(m)
+    )
+    out_cols = f"{keep}, embedding" if carry_embedding else keep
+    return (
+        f"pqn AS (SELECT {keep}, embedding, {_sql_norm('embedding')} AS nrm "
+        f"FROM {src}), "
+        f"pqd AS (SELECT {keep}, embedding, {', '.join(dists)} FROM pqn), "
+        f"pqc AS (SELECT {out_cols}, {codes} FROM pqd)"
+    )
+
+
+def _sql_pq_adc() -> str:
+    """ADC score over pqc's codes: M LUT lookups + left-assoc adds."""
+    luts = _pq_luts()
+    return "(" + " + ".join(
+        "(list_value("
+        + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in luts[j])
+        + f")[c{j} + 1])"
+        for j in range(len(luts))
+    ) + ")"
+
+
+def _sql_ann_pq() -> str:
+    """ann_pq_top10 twin: encode + ADC replicated with the same codebook /
+    LUT literals the engine ships (Jegou et al. PQ; approximate by design,
+    so the twin is the algorithm, not brute force — the same relationship
+    _sql_bucket has to the LSH gates)."""
+    return (
+        f"WITH {_sql_pq_ctes('embeddings')} "
+        f"SELECT vec_id, round({_sql_pq_adc()}, 6) AS adc FROM pqc "
+        "ORDER BY adc DESC, vec_id LIMIT 10"
+    )
+
+
+def _sql_ann_ivfpq(k: int = 10, shortlist: int = 4) -> str:
+    """ann_ivfpq_top10 twin: the IVF cell filter of _sql_ann_ivf, the PQ
+    shortlist of _sql_pq_ctes (k*shortlist by unrounded ADC), then exact
+    cosine re-rank — each stage the same literals/order as the engine."""
+    n = len(_CENTROIDS)
+    dots = ", ".join(
+        f"{_sql_dot('embedding', c)} AS d{i}" for i, c in enumerate(_CENTROIDS)
+    )
+    best = "greatest(" + ", ".join(f"d{i}" for i in range(n)) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN d{i} = best THEN {i}" for i in range(n - 1)
+    ) + f" ELSE {n - 1} END"
+    q = np.asarray(_QVEC, dtype=np.float64)
+    probe = np.argsort(-(_CENTROIDS @ q), kind="stable")[:2]
+    probes = ", ".join(str(int(i)) for i in probe)
+    return (
+        f"WITH d AS (SELECT vec_id, embedding, {dots} FROM embeddings), "
+        f"b AS (SELECT *, {best} AS best FROM d), "
+        f"a AS (SELECT vec_id, embedding, {case} AS ivf_cell FROM b), "
+        f"f AS (SELECT vec_id, embedding FROM a WHERE ivf_cell IN ({probes})), "
+        f"{_sql_pq_ctes('f', carry_embedding=True)}, "
+        f"s AS (SELECT vec_id, embedding, {_sql_pq_adc()} AS _adc FROM pqc "
+        f"ORDER BY _adc DESC, vec_id LIMIT {k * shortlist}) "
+        f"SELECT vec_id, round({_sql_cosine('embedding', _QVEC)}, 6) AS cosine "
+        f"FROM s ORDER BY cosine DESC, vec_id LIMIT {k}"
     )
 
 
