@@ -695,6 +695,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ANN.ivfpq_topk(_emb(spark, sf), _QVEC, 10, _CENTROIDS,
                               _PQ_CB, nprobe=2, shortlist=4)
 
+    def _ivfpq_table(spark, sf):
+        # fresh temp layout per run: (vec_id, embedding, codes) partitioned
+        # by ivf_cell, both codebooks as sidecars (readers use the sidecars
+        # — centroids/codebooks args stay None below on purpose)
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="ivfpq_gate_") + "/ivfpq"
+        ANN.write_ivfpq_table(_emb(spark, sf), path, _CENTROIDS, _PQ_CB)
+        return path
+
+    def ann_ivfpq_table(spark, sf):
+        # two-phase FAISS-style read over the written layout: codes-only
+        # ADC shortlist (bounded id collect) -> exact re-rank with vec_id
+        # pushdown.  Same math as ivfpq_topk, so the same oracle twin.
+        path = _ivfpq_table(spark, sf)
+        return ANN.ivfpq_topk_table(spark, path, _QVEC, 10,
+                                    nprobe=2, shortlist=4)
+
+    def ann_batch_ivfpq(spark, sf):
+        # batch probes over the compressed layout: candidate scoring via
+        # <qvec, recon(codes)> (per-pair ADC — a per-query LUT literal is
+        # impossible in batch), shortlist, exact re-rank, brute fence
+        path = _ivfpq_table(spark, sf)
+        emb = _emb(spark, sf)
+        return ANN.batch_topk_ivfpq_table(spark, path,
+                                          _batch_queries(emb, 9), 10,
+                                          nprobe=2, shortlist=4)
+
     def ann_lsh_auto(spark, sf):
         # size-aware plane count (round-3 verdict item 2): P derived from
         # the table row count so expected bucket size <= target — the
@@ -1036,6 +1064,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round 6 (newest) -------------------------------------------
         "ann_pq_top10": ann_pq,
         "ann_ivfpq_top10": ann_ivfpq,
+        "ann_ivfpq_table_top10": ann_ivfpq_table,
+        "ann_batch_ivfpq_top10": ann_batch_ivfpq,
         "doc_contamination": doc_contamination,
         "ivf_cell_stats": ivf_cell_stats,
         "split_by_component": split_by_component,
@@ -1380,6 +1410,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_pairs_auto": _sql_ann_pairs(_auto_planes_for()),
         "ann_pq_top10": _sql_ann_pq(),
         "ann_ivfpq_top10": _sql_ann_ivfpq(),
+        # the written-layout two-phase read computes the same math as the
+        # in-memory composition — shared twin by construction
+        "ann_ivfpq_table_top10": _sql_ann_ivfpq(),
+        "ann_batch_ivfpq_top10": _sql_ann_batch_ivfpq(),
         "ann_batch_top10": _sql_ann_batch(),
         "ann_batch_brute_top10": _sql_ann_batch_brute(),
         "ann_batch_ivf_top10": _sql_ann_batch_ivf(),
@@ -1936,6 +1970,82 @@ def _sql_ann_ivfpq(k: int = 10, shortlist: int = 4) -> str:
         f"ORDER BY _adc DESC, vec_id LIMIT {k * shortlist}) "
         f"SELECT vec_id, round({_sql_cosine('embedding', _QVEC)}, 6) AS cosine "
         f"FROM s ORDER BY cosine DESC, vec_id LIMIT {k}"
+    )
+
+
+def _sql_ann_batch_ivfpq(modulo: int = 9, k: int = 10, nprobe: int = 2,
+                         shortlist: int = 4) -> str:
+    """ann_batch_ivfpq_top10 twin: the batch-IVF twin's cell assignment +
+    per-query probe pick, then the PQ stages — codes via _sql_pq_ctes,
+    reconstruction from per-subspace codebook literals, per-pair ADC
+    (dot(qv, recon)/|qv|, round 6), shortlist row_number at k*shortlist,
+    exact cosine re-rank — and the brute fence for queries whose probed
+    cells held < k candidates (the engine's _fill_underfilled condition:
+    post-rerank count < k iff pre-shortlist pool < k)."""
+    n = len(_CENTROIDS)
+    m, ks, dsub = _PQ_CB.shape
+    dots = ", ".join(
+        f"{_sql_dot('embedding', c)} AS d{i}" for i, c in enumerate(_CENTROIDS)
+    )
+    best = "greatest(" + ", ".join(f"d{i}" for i in range(n)) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN d{i} = best THEN {i}" for i in range(n - 1)
+    ) + f" ELSE {n - 1} END"
+    dlist = "[" + ", ".join(f"d{i}" for i in range(n)) + "]"
+
+    def cbj(j: int) -> str:
+        return "list_value(" + ", ".join(
+            "list_value(" + ", ".join(
+                f"CAST('{float(x)!r}' AS DOUBLE)" for x in c
+            ) + ")" for c in _PQ_CB[j]
+        ) + ")"
+
+    recon = "flatten(list_value(" + ", ".join(
+        f"({cbj(j)})[c{j} + 1]" for j in range(m)
+    ) + "))"
+    dotqr = "(" + " + ".join(
+        f"CAST(p.qv[{i + 1}] AS DOUBLE) * CAST(rec.recon[{i + 1}] AS DOUBLE)"
+        for i in range(m * dsub)
+    ) + ")"
+    cos_rr = _sql_cosine_cc("a.embedding", "p2.qv")
+    cos_br = _sql_cosine_cc("e.embedding", "q0.qv")
+    return (
+        f"WITH d AS (SELECT vec_id, embedding, {dots} FROM embeddings), "
+        f"bb AS (SELECT *, {best} AS best FROM d), "
+        f"a AS (SELECT vec_id, embedding, {case} AS ivf_cell FROM bb), "
+        f"q0 AS (SELECT vec_id AS query_id, embedding AS qv, "
+        f"{_sql_norm('embedding')} AS qn, "
+        f"unnest(range({n})) AS cell, unnest({dlist}) AS qd "
+        f"FROM d WHERE vec_id % {modulo} = 0), "
+        "qr AS (SELECT query_id, qv, qn, cell, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY qd DESC, cell) AS rn FROM q0), "
+        f"p AS (SELECT query_id, qv, qn, cell FROM qr WHERE rn <= {nprobe}), "
+        f"{_sql_pq_ctes('a', keep='vec_id, ivf_cell')}, "
+        f"rec AS (SELECT vec_id, ivf_cell, {recon} AS recon FROM pqc), "
+        f"cand AS (SELECT p.query_id, rec.vec_id, "
+        f"round({dotqr} / p.qn, 6) AS cosine "
+        "FROM p JOIN rec ON rec.ivf_cell = p.cell), "
+        f"filled AS (SELECT query_id FROM cand GROUP BY query_id "
+        f"HAVING count(*) >= {k}), "
+        "sl AS (SELECT query_id, vec_id, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn "
+        "FROM cand WHERE query_id IN (SELECT query_id FROM filled)), "
+        f"sh AS (SELECT query_id, vec_id FROM sl WHERE rn <= {k * shortlist}), "
+        "q1 AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings "
+        f"WHERE vec_id % {modulo} = 0), "
+        f"rr AS (SELECT sh.query_id, sh.vec_id, {cos_rr} AS cosine "
+        "FROM sh JOIN a ON a.vec_id = sh.vec_id "
+        "JOIN q1 p2 ON p2.query_id = sh.query_id), "
+        "rrr AS (SELECT query_id, vec_id, cosine, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn FROM rr), "
+        f"br AS (SELECT q0.query_id, e.vec_id, {cos_br} AS cosine "
+        "FROM q1 q0 CROSS JOIN embeddings e "
+        "WHERE q0.query_id NOT IN (SELECT query_id FROM filled)), "
+        "brr AS (SELECT query_id, vec_id, cosine, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn FROM br) "
+        f"SELECT query_id, vec_id, cosine FROM rrr WHERE rn <= {k} "
+        "UNION ALL "
+        f"SELECT query_id, vec_id, cosine FROM brr WHERE rn <= {k}"
     )
 
 

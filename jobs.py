@@ -86,6 +86,20 @@ def main(argv=None):
     si.add_argument("--sample", type=int, default=100_000,
                     help="training sample size (driver-side k-means)")
 
+    sip = sub.add_parser("ivfpq-build",
+                         help="materialize the IVF+PQ layout: embeddings + "
+                              "codes partitioned by trained cell, both "
+                              "codebooks as sidecars")
+    sip.add_argument("--emb", required=True)
+    sip.add_argument("--out", required=True)
+    sip.add_argument("--centroids", type=int, default=256)
+    sip.add_argument("--pq-m", type=int, default=8,
+                     help="PQ subspace count (dim must divide)")
+    sip.add_argument("--pq-ks", type=int, default=16,
+                     help="centroids per PQ subspace")
+    sip.add_argument("--sample", type=int, default=100_000,
+                     help="driver-side training sample bound")
+
     sia = sub.add_parser("ivf-append",
                          help="append new vectors into an IVF layout "
                               "(persisted codebook, commit-locked, idempotent)")
@@ -148,8 +162,13 @@ def main(argv=None):
                           "qvec array<float>)")
     sba.add_argument("--out", required=True)
     sba.add_argument("-k", type=int, default=10)
-    sba.add_argument("--method", choices=("lsh", "ivf", "brute"),
+    sba.add_argument("--method", choices=("lsh", "ivf", "brute", "ivfpq"),
                      default="lsh")
+    sba.add_argument("--table", default=None,
+                     help="ivfpq: written ivfpq-build layout to probe "
+                          "(codes-first ranking + exact re-rank)")
+    sba.add_argument("--shortlist", type=int, default=4,
+                     help="ivfpq: exact re-rank depth multiplier (k*this)")
     sba.add_argument("--target-bucket", type=int, default=1024,
                      help="LSH: expected bucket size the plane count is "
                           "sized for")
@@ -281,6 +300,24 @@ def main(argv=None):
         cb = ANN.ivf_train(sample, n_centroids=args.centroids)
         ANN.write_ivf_table(emb, args.out, cb)
         print(json.dumps({"rows": n, "centroids": args.centroids, "out": args.out}))
+    elif args.cmd == "ivfpq-build":
+        import numpy as np
+
+        from openpoiservice_spark.operators import ann as ANN
+
+        emb = spark.read.parquet(args.emb)
+        n = emb.count()
+        frac = min(1.0, args.sample / max(n, 1))
+        sample = np.array(
+            emb.sample(frac, seed=7).limit(args.sample)
+            .select("embedding").toPandas()["embedding"].tolist()
+        )
+        cent = ANN.ivf_train(sample, n_centroids=args.centroids)
+        cb = ANN.pq_train(sample, m=args.pq_m, ks=args.pq_ks)
+        ANN.write_ivfpq_table(emb, args.out, cent, cb)
+        print(json.dumps({"rows": n, "centroids": args.centroids,
+                          "pq_m": args.pq_m, "pq_ks": args.pq_ks,
+                          "out": args.out}))
     elif args.cmd == "ivf-append":
         from openpoiservice_spark.operators import ann as ANN
 
@@ -296,7 +333,14 @@ def main(argv=None):
         emb = spark.read.parquet(args.emb)
         qdf = spark.read.parquet(args.queries)
         k = args.k if args.mmr is None else 4 * args.k
-        if args.method == "brute":
+        if args.method == "ivfpq":
+            if not args.table:
+                raise SystemExit("--method ivfpq requires --table "
+                                 "(an ivfpq-build output)")
+            out = ANN.batch_topk_ivfpq_table(
+                spark, args.table, qdf, k,
+                nprobe=args.nprobe, shortlist=args.shortlist)
+        elif args.method == "brute":
             out = ANN.batch_topk_brute(emb, qdf, k)
         elif args.method == "ivf":
             n = emb.count()

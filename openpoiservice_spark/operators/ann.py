@@ -922,3 +922,203 @@ def ivfpq_topk(emb: DataFrame, qvec, k: int = 10,
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(k)
     )
+
+
+# ------------------------------------------------- PQ over written tables
+
+#: PQ codebook sidecar at the table root (sibling of the IVF sidecar) —
+#: index metadata travels WITH the table, readers never re-derive it
+PQ_CODEBOOK_FILE = "_pq_codebooks.json"
+
+
+def write_pq_codebooks(spark, path: str, codebooks: np.ndarray) -> None:
+    import json
+
+    from ..prepare import _hadoop_fs
+
+    fs, p = _hadoop_fs(spark, f"{path}/{PQ_CODEBOOK_FILE}")
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(json.dumps(
+            np.asarray(codebooks, dtype=np.float64).tolist()).encode("ascii")))
+    finally:
+        out.close()
+
+
+def read_pq_codebooks(spark, path: str) -> np.ndarray | None:
+    import json
+
+    from ..prepare import _hadoop_fs
+
+    fs, p = _hadoop_fs(spark, f"{path}/{PQ_CODEBOOK_FILE}")
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        data = []
+        while True:
+            b = stream.read()
+            if b < 0:
+                break
+            data.append(b)
+        return np.asarray(json.loads(bytes(data).decode("ascii")))
+    finally:
+        stream.close()
+
+
+def pq_recon_col(codes_col: Column, codebooks: np.ndarray) -> Column:
+    """Unit-space reconstruction from codes: concat of the selected
+    sub-centroids.  The whole (m, ks, dsub) codebook ships as ONE 3-level
+    array literal (single parsed expression — no per-element py4j), and
+    the reconstruction is flatten(transform(codes, ...)): O(1) plan depth
+    however large the codebook.  <q_unit, recon(codes)> equals the ADC
+    LUT sum exactly, so batch scoring over pairs — where a per-query LUT
+    literal is impossible — reuses the HOF dot the other batch paths run."""
+    m, ks, dsub = codebooks.shape
+    cb3 = F.expr(
+        "array(" + ",".join(
+            "array(" + ",".join(
+                "array(" + ",".join(
+                    f"CAST('{float(x)!r}' AS DOUBLE)" for x in c
+                ) + ")" for c in codebooks[j]
+            ) + ")" for j in range(m)
+        ) + ")")
+    return F.flatten(F.transform(
+        codes_col, lambda c, j: F.get(F.get(cb3, j), c)))
+
+
+def write_ivfpq_table(emb: DataFrame, path: str,
+                      centroids: np.ndarray | None = None,
+                      codebooks: np.ndarray | None = None) -> None:
+    """Materialize the full search layout: (vec_id, embedding, codes)
+    partitioned by ivf_cell, both codebooks as sidecars.  Probes prune at
+    the directory level (IVF), first-pass ranking projects ONLY the codes
+    column (parquet is columnar — vector bytes stay unread), and the exact
+    re-rank reads embeddings for just the shortlist.  One write, three
+    access paths."""
+    centroids = ivf_centroids() if centroids is None else centroids
+    codebooks = pq_codebooks() if codebooks is None else codebooks
+    (
+        emb.withColumn("ivf_cell",
+                       ivf_assign_col(F.col("embedding"), centroids))
+        .withColumn("codes", pq_code_col(F.col("embedding"), codebooks))
+        .write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
+    )
+    write_codebook(emb.sparkSession, path, centroids)
+    write_pq_codebooks(emb.sparkSession, path, codebooks)
+
+
+def ivfpq_topk_table(spark, path: str, qvec, k: int = 10,
+                     centroids: np.ndarray | None = None,
+                     codebooks: np.ndarray | None = None,
+                     nprobe: int = DEFAULT_NPROBE,
+                     shortlist: int = 4) -> DataFrame:
+    """Two-phase IVF+PQ search over a `write_ivfpq_table` layout — the
+    FAISS-style production read path.  Phase 1 scans ONLY (vec_id, codes)
+    of the probed partitions and ADC-ranks to k*shortlist ids (a bounded
+    driver collect, <= k*shortlist longs).  Phase 2 re-reads the probed
+    partitions with vec_id IN (shortlist) — an id predicate parquet can
+    evaluate against row-group stats — and re-ranks exactly.  Vector
+    bytes are read for the shortlist's row groups only."""
+    centroids = _table_centroids(spark, path, centroids)
+    if codebooks is None:
+        codebooks = read_pq_codebooks(spark, path)
+        if codebooks is None:
+            raise ValueError(f"{path} has no {PQ_CODEBOOK_FILE}; "
+                             "write_ivfpq_table it first")
+    q = np.asarray(qvec, dtype=np.float64)
+    probe = [int(i) for i in
+             np.argsort(-(centroids @ q), kind="stable")[:nprobe]]
+    tbl = spark.read.parquet(path)
+    short = (
+        tbl.filter(F.col("ivf_cell").isin(probe))
+        .select("vec_id",
+                pq_adc_col(F.col("codes"), qvec, codebooks).alias("_adc"))
+        .orderBy(F.desc("_adc"), "vec_id")
+        .limit(k * shortlist)
+    )
+    ids = [r.vec_id for r in short.collect()]  # bounded by k*shortlist
+    return (
+        tbl.filter(F.col("ivf_cell").isin(probe))
+        .filter(F.col("vec_id").isin(ids))
+        .select("vec_id",
+                F.round(cosine_col(F.col("embedding"), qvec), 6)
+                .alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(k)
+    )
+
+
+def batch_topk_ivfpq_table(spark, path: str, queries: DataFrame,
+                           k: int = 10,
+                           centroids: np.ndarray | None = None,
+                           codebooks: np.ndarray | None = None,
+                           nprobe: int = DEFAULT_NPROBE,
+                           shortlist: int = 4,
+                           query_id: str = "query_id",
+                           qvec_col: str = "qvec",
+                           fill: bool = True) -> DataFrame:
+    """Batch IVF+PQ: N query vectors, the k nearest each, ONE job over the
+    compressed layout.  The probe equi-join's table side projects ONLY
+    (vec_id, codes, ivf_cell) — first-pass candidate scoring never reads
+    vector bytes — and scores each pair via <qvec, recon(codes)>/|qvec|
+    (identical to the per-query ADC LUT, but expressible per PAIR, which a
+    literal LUT is not).  Per-partition partial top-(k*shortlist) bounds
+    the shuffle exactly like the other batch paths; the exact re-rank then
+    joins the shortlist back against the probed partitions' embedding
+    column (cells bounded driver-side by the codebook size, so the re-read
+    is static partition pruning).  Under-filled queries fall through the
+    shared brute fence."""
+    centroids = _table_centroids(spark, path, centroids)
+    if codebooks is None:
+        codebooks = read_pq_codebooks(spark, path)
+        if codebooks is None:
+            raise ValueError(f"{path} has no {PQ_CODEBOOK_FILE}; "
+                             "write_ivfpq_table it first")
+    q = _norm_queries(queries, query_id, qvec_col)
+    cb = F.array(*[_qvec_lit(c) for c in centroids])
+    ranked = F.array_sort(F.transform(
+        cb, lambda c, i: F.struct((-_dot(F.col("qvec"), c)).alias("nd"),
+                                  i.alias("i"))))
+    probe_arr = F.transform(F.slice(ranked, 1, nprobe), lambda s: s["i"])
+    probes = q.select("query_id", "qvec", "_qn",
+                      F.explode(probe_arr).alias("ivf_cell"))
+    codes_side = (
+        spark.read.parquet(path)
+        .select("vec_id", "ivf_cell",
+                pq_recon_col(F.col("codes"), codebooks).alias("_recon"))
+    )
+    cand = codes_side.alias("e").join(
+        F.broadcast(probes).alias("q"), "ivf_cell"
+    ).select(
+        F.col("q.query_id"),
+        F.col("e.vec_id"),
+        F.round(_dot(F.col("q.qvec"), F.col("e._recon"))
+                / F.col("q._qn"), 6).alias("cosine"),
+    )
+    short = _topk_per_query(cand, k * shortlist)
+
+    # probed-cell union is bounded by the codebook size C — the same
+    # bounded-footprint collect contract batchjoin's pcell pruning uses
+    cells = [r.ivf_cell for r in
+             probes.select("ivf_cell").distinct().collect()]
+    embside = (
+        spark.read.parquet(path)
+        .filter(F.col("ivf_cell").isin(cells))
+        .select("vec_id", "embedding", _norm(F.col("embedding")).alias("_en"))
+    )
+    exact = (
+        F.broadcast(short.select("query_id", "vec_id"))
+        .join(embside, "vec_id")
+        .join(F.broadcast(q.select("query_id", "qvec", "_qn")), "query_id")
+        .select(
+            "query_id", "vec_id",
+            F.round(_dot(F.col("embedding"), F.col("qvec"))
+                    / (F.col("_en") * F.col("_qn")), 6).alias("cosine"),
+        )
+    )
+    topk = _topk_per_query(exact, k)
+    if not fill:
+        return topk
+    emb = spark.read.parquet(path).select("vec_id", "embedding")
+    return _fill_underfilled(emb, q, topk, k)

@@ -95,7 +95,7 @@ def test_pq_trained_recall_clustered(spark):
     # trained IVF + ADC shortlist + exact re-rank: the full composition
     # recovers the exact answer the shortlist alone cannot resolve
     cent = ANN.ivf_train(x[:300], n_centroids=8, seed=11)
-    full = ANN.ivfpq_topk(emb, q, 10, cent, cb, nprobe=2, shortlist=6)
+    full = ANN.ivfpq_topk(emb, q, 10, cent, cb, nprobe=2, shortlist=12)
     brute = {r.vec_id for r in ANN.brute_topk(emb, q, 10).collect()}
     assert len({r.vec_id for r in full.collect()} & brute) >= 9
 
@@ -150,3 +150,99 @@ def test_pq_compression_ratio():
     m, ks, dsub = cb.shape
     assert m * dsub == 64 and ks <= 256  # codes representable in 1 byte
     assert (64 * 4) / m >= 32
+
+
+def test_write_ivfpq_table_roundtrip(spark, tmp_path):
+    """The written layout: partitioned by ivf_cell, codes column present,
+    BOTH codebook sidecars readable, and the two-phase table read equals
+    the in-memory composition on the same inputs."""
+    _, emb = _rand_emb(spark, n=200, seed=9)
+    cb = ANN.pq_codebooks()
+    cent = ANN.ivf_centroids()
+    path = str(tmp_path / "ivfpq")
+    ANN.write_ivfpq_table(emb, path, cent, cb)
+    assert np.allclose(ANN.read_codebook(spark, path), cent)
+    assert np.allclose(ANN.read_pq_codebooks(spark, path), cb)
+
+    q = ANN.query_vector()
+    a = ANN.ivfpq_topk_table(spark, path, q, 10, nprobe=2, shortlist=4)
+    b = ANN.ivfpq_topk(emb, q, 10, cent, cb, nprobe=2, shortlist=4)
+    assert [(r.vec_id, r.cosine) for r in a.collect()] == \
+           [(r.vec_id, r.cosine) for r in b.collect()]
+
+
+def test_ivfpq_table_phase1_prunes_partitions(spark, tmp_path):
+    """Phase 1's codes scan must hit only the probed ivf_cell directories
+    (partition pruning) and must not read the embedding column."""
+    _, emb = _rand_emb(spark, n=200, seed=10)
+    cent = ANN.ivf_centroids()
+    path = str(tmp_path / "ivfpq")
+    ANN.write_ivfpq_table(emb, path, cent, ANN.pq_codebooks())
+    q = ANN.query_vector()
+    probe = [int(i) for i in np.argsort(-(cent @ q), kind="stable")[:2]]
+    phase1 = (
+        spark.read.parquet(path)
+        .filter(F.col("ivf_cell").isin(probe))
+        .select("vec_id", ANN.pq_adc_col(F.col("codes"), q,
+                                         ANN.pq_codebooks()).alias("_adc"))
+    )
+    plan = phase1._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_cell" in plan
+    scan = plan[plan.index("ReadSchema"):]
+    assert "embedding" not in scan.split("\n")[0]
+
+
+def test_batch_ivfpq_matches_per_query(spark, tmp_path):
+    """batch_topk_ivfpq_table (fill off) answers each query exactly as the
+    single-query two-phase read does — one job instead of N plans."""
+    _, emb = _rand_emb(spark, n=250, seed=12)
+    cent = ANN.ivf_centroids()
+    cb = ANN.pq_codebooks()
+    path = str(tmp_path / "ivfpq")
+    ANN.write_ivfpq_table(emb, path, cent, cb)
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    got = ANN.batch_topk_ivfpq_table(spark, path, queries, 5,
+                                     nprobe=2, shortlist=4, fill=False)
+    rows = {}
+    for r in got.collect():
+        rows.setdefault(r.query_id, []).append((r.vec_id, r.cosine))
+    qv = {r.query_id: list(r.qvec) for r in queries.collect()}
+    for qid, v in qv.items():
+        single = ANN.ivfpq_topk_table(spark, path, v, 5,
+                                      nprobe=2, shortlist=4)
+        assert sorted(rows.get(qid, [])) == \
+            sorted((r.vec_id, r.cosine) for r in single.collect())
+
+
+def test_batch_ivfpq_plan_no_cartesian(spark, tmp_path):
+    """The batch candidate stage is ONE equi-join on the cell key — no
+    CartesianProduct / BroadcastNestedLoopJoin anywhere in the plan."""
+    _, emb = _rand_emb(spark, n=120, seed=13)
+    path = str(tmp_path / "ivfpq")
+    ANN.write_ivfpq_table(emb, path, ANN.ivf_centroids(), ANN.pq_codebooks())
+    queries = emb.limit(5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    df = ANN.batch_topk_ivfpq_table(spark, path, queries, 5, fill=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pq_recon_matches_numpy(spark):
+    """pq_recon_col rebuilds exactly the concatenation of selected
+    sub-centroids, and <q_unit, recon> equals the ADC LUT score."""
+    x, emb = _rand_emb(spark, n=40, seed=14)
+    cb = ANN.pq_codebooks()
+    q = ANN.query_vector()
+    codes = ANN.pq_encode(emb, cb)
+    rec = codes.select(
+        "vec_id", ANN.pq_recon_col(F.col("codes"), cb).alias("recon"))
+    got = {r.vec_id: np.array(r.recon) for r in rec.collect()}
+    ref_codes = _np_codes(x, cb)
+    m, ks, dsub = cb.shape
+    for i in range(len(x)):
+        ref = np.concatenate([cb[j][ref_codes[i, j]] for j in range(m)])
+        assert np.allclose(got[i], ref)
+        qu = q / np.linalg.norm(q)
+        assert abs(float(qu @ ref) - _np_adc(ref_codes[i:i + 1], q, cb)[0]) < 1e-9
