@@ -389,6 +389,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("z", "tx", "ty", "n_images", "total_px")
         )
 
+    def tile_pyramid(spark, sf):
+        # multi-zoom rollup from ONE input pass: z12/z10 derived from the
+        # z14 AGGREGATE by bit-shift (slippy tiles nest exactly), not by
+        # re-binning the raw table per zoom
+        view = D.spark_poi_view(spark, sf)
+        return TI.tile_count_pyramid(view, 14, (12, 10))
+
     def stats_category(spark, sf):
         view = D.spark_poi_view(spark, sf)
         return (
@@ -1066,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_top10": ann_ivfpq,
         "ann_ivfpq_table_top10": ann_ivfpq_table,
         "ann_batch_ivfpq_top10": ann_batch_ivfpq,
+        "tile_pyramid": tile_pyramid,
         "doc_contamination": doc_contamination,
         "ivf_cell_stats": ivf_cell_stats,
         "split_by_component": split_by_component,
@@ -1278,6 +1286,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM poi GROUP BY 1"
         ),
         "tiles_z14": f"{_POI} SELECT poi_id, {tx14} AS tx, {ty14} AS ty FROM poi",
+        # pyramid twin mirrors the rollup-from-aggregate: coarser zooms
+        # integer-divide the z14 histogram's tile ids (shiftright == // 2^s
+        # for the non-negative clamped ids)
+        "tile_pyramid": (
+            f"{_POI}, b AS (SELECT {tx14} AS tx, {ty14} AS ty, "
+            "count(*) AS n FROM poi GROUP BY 1, 2) "
+            "SELECT 14 AS z, tx, ty, n FROM b "
+            "UNION ALL SELECT 12 AS z, tx // 4 AS tx, ty // 4 AS ty, "
+            "CAST(sum(n) AS BIGINT) AS n FROM b GROUP BY 2, 3 "
+            "UNION ALL SELECT 10 AS z, tx // 16 AS tx, ty // 16 AS ty, "
+            "CAST(sum(n) AS BIGINT) AS n FROM b GROUP BY 2, 3"
+        ),
         "tile_pixels_z14": (
             # clamped to the zoom-14 grid [0, 2^14*256) exactly like
             # tiles.assign_tiles (polar/edge rasters clip, never emit

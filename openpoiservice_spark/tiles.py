@@ -287,3 +287,45 @@ def tile_pyramid_features(df: DataFrame, zooms: tuple[int, ...] = (10, 14),
             yield pd.DataFrame(out)
 
     return src.mapInPandas(run, schema=_PYR_SCHEMA)
+
+
+def tile_count_pyramid(df: DataFrame, z_base: int = 14,
+                       zooms: tuple[int, ...] = (12, 10),
+                       lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """Multi-zoom tile histogram from ONE pass over the input.
+
+    The raw table is scanned exactly once, into the z_base histogram; every
+    coarser zoom re-aggregates THAT aggregate by bit-shifted tile ids —
+    exact, because slippy tiles nest by construction (floor(x*2^z) >> s ==
+    floor(x*2^(z-s)) for x >= 0, and the [0, 2^z-1] clamp halves
+    consistently).  At 100 TB the input scan + shuffle happen once; each
+    extra level costs a groupBy over the (tiny) previous aggregate — the
+    rollup shape a tile-serving pipeline wants, vs re-binning the raw
+    table per zoom.  The base histogram is localCheckpointed (bounded by
+    the tile count) so the union's branches read blocks instead of
+    re-running the scan per level.
+
+    Tile math uses the spelled-out asinh mercator form (derive
+    .sql_mercator_tile) — bit-identical across engines, same as the
+    single-zoom gates.
+    """
+    from .derive import sql_mercator_tile
+
+    tx, ty = sql_mercator_tile(lon, lat, z_base)
+    base = (
+        df.select(F.expr(tx).alias("tx"), F.expr(ty).alias("ty"))
+        .groupBy("tx", "ty").agg(F.count("*").alias("n"))
+    ).localCheckpoint()
+    out = base.select(F.lit(int(z_base)).alias("z"), "tx", "ty", "n")
+    for z in zooms:
+        if z >= z_base:
+            raise ValueError(f"pyramid zooms must be coarser than base "
+                             f"({z} >= {z_base})")
+        s = z_base - z
+        out = out.unionByName(
+            base.select(F.lit(int(z)).alias("z"),
+                        F.shiftright("tx", s).alias("tx"),
+                        F.shiftright("ty", s).alias("ty"), "n")
+            .groupBy("z", "tx", "ty").agg(F.sum("n").alias("n"))
+        )
+    return out

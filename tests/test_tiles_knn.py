@@ -333,3 +333,35 @@ def test_cover_bbox_wrap_unit():
     # continuous-frame spec (bounds of a dateline GeomSpec) gives the same
     cont = set(C.cover_bbox(179.0, -1.0, 181.0, 1.0, 10).tolist())
     assert cont == wrapped
+
+
+def test_tile_count_pyramid_nests_exactly(spark):
+    """The bit-shift rollup equals re-binning the raw points at each zoom
+    (slippy tiles nest exactly), every level preserves the total count,
+    and the plan reads the base via checkpoint blocks (one input scan)."""
+    rng = np.random.default_rng(17)
+    pdf = pd.DataFrame({
+        "lon": rng.uniform(-179.9, 179.9, 400),
+        "lat": rng.uniform(-84.0, 84.0, 400),
+    })
+    df = spark.createDataFrame(pdf)
+    pyr = tiles.tile_count_pyramid(df, 14, (12, 10)).collect()
+    by_z = {}
+    for r in pyr:
+        by_z.setdefault(r.z, {})[(r.tx, r.ty)] = r.n
+    assert set(by_z) == {14, 12, 10}
+    assert all(sum(m.values()) == 400 for m in by_z.values())
+
+    from openpoiservice_spark.derive import sql_mercator_tile
+    for z in (12, 10):
+        tx, ty = sql_mercator_tile("lon", "lat", z)
+        direct = {
+            (r.tx, r.ty): r.n for r in
+            df.select(F.expr(tx).alias("tx"), F.expr(ty).alias("ty"))
+            .groupBy("tx", "ty").agg(F.count("*").alias("n")).collect()
+        }
+        assert direct == by_z[z]
+
+    plan = tiles.tile_count_pyramid(df, 14, (12, 10)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
