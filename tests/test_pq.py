@@ -92,12 +92,26 @@ def test_pq_trained_recall_clustered(spark):
     got = [r.vec_id for r in ANN.pq_topk(emb, q, 10, cb).collect()]
     assert got and all(int(i) % 8 == 123 % 8 for i in got)
 
-    # trained IVF + ADC shortlist + exact re-rank: the full composition
-    # recovers the exact answer the shortlist alone cannot resolve
+    # trained IVF + ADC shortlist + exact re-rank.  Seed-11 k-means happens
+    # to split the query's cluster across THREE cells (two true top-10 hits
+    # land in a cell outside the top-2 probes) — recall-vs-nprobe is the IVF
+    # tradeoff, not an engine defect, so assert the actual contract twice:
     cent = ANN.ivf_train(x[:300], n_centroids=8, seed=11)
-    full = ANN.ivfpq_topk(emb, q, 10, cent, cb, nprobe=2, shortlist=12)
     brute = {r.vec_id for r in ANN.brute_topk(emb, q, 10).collect()}
-    assert len({r.vec_id for r in full.collect()} & brute) >= 9
+    # (a) at nprobe=2 the composition returns EXACTLY the true cosine
+    #     top-10 among REACHABLE vectors (those assigned to a probed cell)
+    probe = set(np.argsort(-(cent @ q), kind="stable")[:2].tolist())
+    cells = np.argmax(x @ cent.T, axis=1)
+    cos = (x @ q) / (np.linalg.norm(x, axis=1) * np.linalg.norm(q))
+    reach = [int(i) for i in np.argsort(-cos, kind="stable")
+             if int(cells[i]) in probe][:10]
+    got2 = {r.vec_id for r in
+            ANN.ivfpq_topk(emb, q, 10, cent, cb, nprobe=2, shortlist=12).collect()}
+    assert got2 == set(reach)
+    # (b) one more probe covers the split cluster: true recall recovers
+    got3 = {r.vec_id for r in
+            ANN.ivfpq_topk(emb, q, 10, cent, cb, nprobe=3, shortlist=12).collect()}
+    assert len(got3 & brute) >= 9
 
 
 def test_ivfpq_full_probe_equals_brute(spark):
