@@ -396,6 +396,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         view = D.spark_poi_view(spark, sf)
         return TI.tile_count_pyramid(view, 14, (12, 10))
 
+    def tile_top_cat(spark, sf):
+        # dominant category per tile — argmax via min(struct(-n, cat)),
+        # deterministic smallest-cat tie-break, no sort window
+        view = D.spark_poi_view(spark, sf)
+        return TI.tile_top_category(view.select("lon", "lat", "cat"), 14)
+
     def stats_category(spark, sf):
         view = D.spark_poi_view(spark, sf)
         return (
@@ -1074,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_table_top10": ann_ivfpq_table,
         "ann_batch_ivfpq_top10": ann_batch_ivfpq,
         "tile_pyramid": tile_pyramid,
+        "tile_top_category": tile_top_cat,
         "doc_contamination": doc_contamination,
         "ivf_cell_stats": ivf_cell_stats,
         "split_by_component": split_by_component,
@@ -1297,6 +1304,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(n) AS BIGINT) AS n FROM b GROUP BY 2, 3 "
             "UNION ALL SELECT 10 AS z, tx // 16 AS tx, ty // 16 AS ty, "
             "CAST(sum(n) AS BIGINT) AS n FROM b GROUP BY 2, 3"
+        ),
+        # dominant-category twin: window rank replicates the engine's
+        # min(struct(-n, cat)) argmax — n DESC then cat ASC tie-break
+        "tile_top_category": (
+            f"{_POI}, b AS (SELECT {tx14} AS tx, {ty14} AS ty, cat, "
+            "count(*) AS n FROM poi GROUP BY 1, 2, 3), "
+            "t AS (SELECT tx, ty, cat, n, "
+            "row_number() OVER (PARTITION BY tx, ty ORDER BY n DESC, cat ASC) AS rn, "
+            "CAST(sum(n) OVER (PARTITION BY tx, ty) AS BIGINT) AS n_total FROM b) "
+            "SELECT 14 AS z, tx, ty, cat AS top_cat, n AS n_top, n_total "
+            "FROM t WHERE rn = 1"
         ),
         "tile_pixels_z14": (
             # clamped to the zoom-14 grid [0, 2^14*256) exactly like

@@ -329,3 +329,39 @@ def tile_count_pyramid(df: DataFrame, z_base: int = 14,
             .groupBy("z", "tx", "ty").agg(F.sum("n").alias("n"))
         )
     return out
+
+
+def tile_top_category(df: DataFrame, z: int = 14, cat_col: str = "cat",
+                      lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """Dominant category per slippy tile: (z, tx, ty, top_cat, n_top,
+    n_total) — the rollup a map-rendering/labeling layer asks for ("what
+    is each tile mostly made of").  Mirrors the per-category stats sink of
+    the reference (openpoiservice/server/api/views.py stats response)
+    re-keyed by tile instead of request geometry.
+
+    Two aggregations, both associative (map-side combine at every level):
+    (tile, cat) counts first, then the argmax packed as min(struct(-n,
+    cat)) — deterministic tie-break to the SMALLEST category id among
+    equal counts, without a row_number window (a window would sort and
+    re-shuffle (tile) after the groupBy; min(struct) rides the second
+    groupBy's partial aggregation instead).  At 10^12 rows the first
+    shuffle carries (tile x <=|taxonomy|) partials and the second is over
+    the tile count — both bounded by geometry, not input size.
+    """
+    from .derive import sql_mercator_tile
+
+    tx, ty = sql_mercator_tile(lon, lat, z)
+    by_cat = (
+        df.select(F.expr(tx).alias("tx"), F.expr(ty).alias("ty"),
+                  F.col(cat_col).alias("cat"))
+        .groupBy("tx", "ty", "cat").agg(F.count("*").alias("n"))
+    )
+    packed = F.min(F.struct((-F.col("n")).alias("neg_n"),
+                            F.col("cat").alias("c"))).alias("m")
+    return (
+        by_cat.groupBy("tx", "ty")
+        .agg(packed, F.sum("n").alias("n_total"))
+        .select(F.lit(int(z)).alias("z"), "tx", "ty",
+                F.col("m.c").alias("top_cat"),
+                (-F.col("m.neg_n")).alias("n_top"), "n_total")
+    )

@@ -365,3 +365,39 @@ def test_tile_count_pyramid_nests_exactly(spark):
     plan = tiles.tile_count_pyramid(df, 14, (12, 10)) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+
+
+def test_tile_top_category_argmax_and_ties(spark):
+    """Dominant category per tile: counts are right, ties break to the
+    SMALLEST category id (the min(struct(-n, cat)) packing), n_total sums
+    every category, and the plan is two hash aggregations — no sort
+    window (the argmax must stay associative for map-side combine)."""
+    # all points in one tile: cat 7 x2, cat 3 x2 (tie -> 3), cat 9 x1
+    pdf = pd.DataFrame({
+        "lon": [10.001, 10.002, 10.003, 10.004, 10.005],
+        "lat": [50.001, 50.002, 50.003, 50.004, 50.005],
+        "cat": [7, 7, 3, 3, 9],
+    })
+    df = spark.createDataFrame(pdf)
+    rows = tiles.tile_top_category(df, 14).collect()
+    # 10.00x/50.00x at z14 may straddle a tile edge; aggregate over tiles
+    assert sum(r.n_total for r in rows) == 5
+    one_tile = [r for r in rows if r.n_total == 5]
+    if one_tile:  # the fixture lands in a single tile at this zoom
+        r = one_tile[0]
+        assert r.top_cat == 3 and r.n_top == 2 and r.z == 14
+
+    # clear majority: cat 9 wins
+    pdf2 = pdf.assign(cat=[9, 9, 9, 3, 7])
+    r2 = tiles.tile_top_category(spark.createDataFrame(pdf2), 14).collect()
+    assert {x.top_cat for x in r2 if x.n_top >= 2} <= {9} or len(r2) > 1
+
+    plan = tiles.tile_top_category(df, 14) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # the argmax must be an associative aggregate (min(struct) -> partial
+    # map-side combine before each Exchange), never a sort window over the
+    # raw rows; the SortAggregate it compiles to sorts only the (tile, cat)
+    # AGGREGATE (bounded by geometry x taxonomy), not the input
+    assert "Window" not in plan
+    assert "partial_min" in plan and "partial_count" in plan
+    assert plan.count("Exchange") == 2
