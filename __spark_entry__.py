@@ -582,6 +582,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def dedup_exact(spark, sf):
         return TX.exact_dedup(_docs(spark, sf))
 
+    def dedup_incr(spark, sf):
+        # the daily-crawl increment: new docs (id%10 >= 7) admitted against
+        # the resident 70% — resident never self-pairs
+        docs = _docs(spark, sf)
+        return TX.dedup_increment(docs.filter(F.col("doc_id") % 10 >= 7),
+                                  docs.filter(F.col("doc_id") % 10 < 7))
+
     def minhash_sigs(spark, sf):
         return TX.minhash_signatures(_docs(spark, sf))
 
@@ -1081,6 +1088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_batch_ivfpq_top10": ann_batch_ivfpq,
         "tile_pyramid": tile_pyramid,
         "tile_top_category": tile_top_cat,
+        "dedup_increment": dedup_incr,
         "doc_contamination": doc_contamination,
         "ivf_cell_stats": ivf_cell_stats,
         "split_by_component": split_by_component,
@@ -1316,6 +1324,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 14 AS z, tx, ty, cat AS top_cat, n AS n_top, n_total "
             "FROM t WHERE rn = 1"
         ),
+        "dedup_increment": _sql_dedup_increment(),
         "tile_pixels_z14": (
             # clamped to the zoom-14 grid [0, 2^14*256) exactly like
             # tiles.assign_tiles (polar/edge rasters clip, never emit
@@ -1703,6 +1712,40 @@ def _sql_sample_mix() -> str:
         f"SELECT doc_id, source, {h} % 1000000 AS k FROM documents) "
         "WHERE k < (CASE WHEN source = 'src0' THEN 0.5 "
         "WHEN source = 'src1' THEN 0.1 ELSE 0.3 END) * 1000000.0"
+    )
+
+
+def _sql_dedup_increment(threshold: float = 0.2) -> str:
+    # increment twin: new = doc_id%10 >= 7, resident = the rest.  The
+    # shingle/minhash/band CTEs are the shared dedup-pipeline twins over
+    # the FULL table — minhash is per-doc, so banding the union equals
+    # banding each side separately.  Pair predicate restricts to
+    # new x resident (any) and new x new (smaller id wins); resident
+    # never self-pairs, mirroring TX.dedup_increment stage 2.
+    return (
+        f"WITH {_sql_banded_cte()}, "
+        "new_keep AS (SELECT min(doc_id) AS doc_id FROM documents "
+        "WHERE doc_id % 10 >= 7 GROUP BY md5(text)), "
+        "res_hash AS (SELECT DISTINCT md5(text) AS th FROM documents "
+        "WHERE doc_id % 10 < 7), "
+        "live AS (SELECT k.doc_id FROM new_keep k "
+        "JOIN documents d ON d.doc_id = k.doc_id "
+        "LEFT JOIN res_hash rh ON md5(d.text) = rh.th WHERE rh.th IS NULL), "
+        "pairs AS (SELECT DISTINCT l.doc_id AS loser, r.doc_id AS other "
+        "FROM banded l JOIN banded r ON l.band = r.band AND l.bhash = r.bhash "
+        "WHERE l.doc_id % 10 >= 7 "
+        "AND (r.doc_id % 10 < 7 OR r.doc_id < l.doc_id)), "
+        "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1), "
+        "inter AS (SELECT p.loser, p.other, count(*) AS n_inter "
+        "FROM pairs p JOIN sh a ON a.doc_id = p.loser "
+        "JOIN sh b ON b.doc_id = p.other AND b.shingle = a.shingle "
+        "GROUP BY 1, 2), "
+        "losers AS (SELECT DISTINCT i.loser AS doc_id FROM inter i "
+        "JOIN sizes sa ON sa.doc_id = i.loser "
+        "JOIN sizes sb ON sb.doc_id = i.other "
+        f"WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= {threshold!r}) "
+        "SELECT l.doc_id FROM live l "
+        "LEFT JOIN losers ls ON ls.doc_id = l.doc_id WHERE ls.doc_id IS NULL"
     )
 
 

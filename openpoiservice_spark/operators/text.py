@@ -264,6 +264,106 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 5,
     return docs.join(bad, "doc_id", "left_anti")
 
 
+def dedup_increment(new_docs: DataFrame, resident: DataFrame,
+                    threshold: float = 0.2, n: int = 5, k: int = 8,
+                    bands: int = 2, max_bucket: int | None = None,
+                    hash_fn: str = "md5",
+                    resident_banded: DataFrame | None = None) -> DataFrame:
+    """Admit new documents against an already-curated resident corpus —
+    the INCREMENT shape a daily crawl actually runs: dedup N new docs
+    against a 100 TB resident corpus WITHOUT ever re-pairing the corpus
+    against itself (its internal duplicates were resolved at admission).
+
+    Stages:
+      1. exact — drop new docs whose md5(text) already exists in resident;
+         among the new docs themselves, the smallest doc_id per text hash
+         survives (same survivor rule as exact_dedup).
+      2. near-dup candidates — band BOTH sides (MinHash/LSH, the batch
+         pipeline's parameters); candidate pairs are ONLY new x resident
+         (resident always wins) and new x new (smaller doc_id wins, the
+         pairwise convention of curate(clusters=False)).  The resident
+         side NEVER self-joins, so the quadratic term is bounded by the
+         increment size, not the corpus.
+      3. verify — exact n-gram Jaccard on candidates only.  Resident
+         shingles are derived for ONLY the docs touched by a candidate
+         pair (semi-join before the explode); the corpus text is scanned
+         once, for banding — and at deployment scale even that scan is
+         amortized away by passing `resident_banded=` (a maintained
+         (doc_id, band, bhash) index table, the write/append pattern of
+         ann.write_ivf_table / ivf-append).
+
+    Docs shorter than n chars cannot shingle and pass the near-dup stage
+    untouched — the exact stage still guards them (contamination()'s
+    policy).  The two frames' doc_id spaces must be disjoint.  Returns
+    the admitted new (doc_id) rows.
+    """
+    from pyspark import StorageLevel
+
+    # 1. exact: resident hash anti-join + smallest-id survivor among new
+    res_hash = resident.select(F.md5("text").alias("text_hash")).distinct()
+    keep_exact = exact_dedup(new_docs).select(F.col("keep_id").alias("doc_id"))
+    live = (
+        new_docs.select("doc_id", F.md5("text").alias("text_hash"))
+        .join(keep_exact, "doc_id")
+        .join(res_hash, "text_hash", "left_anti")
+        .select("doc_id")
+    )
+
+    # 2. banding: the new side's shingle explode is shared with stage 3
+    sh_new = shingles(new_docs, n).persist(StorageLevel.MEMORY_AND_DISK)
+    nb = _banded(new_docs, k, bands, n, hash_fn, shingles_df=sh_new) \
+        .withColumn("is_new", F.lit(True))
+    rb = (_banded(resident, k, bands, n, hash_fn)
+          if resident_banded is None else resident_banded) \
+        .withColumn("is_new", F.lit(False))
+    allb = nb.unionByName(rb)
+    if max_bucket is not None:
+        # bucket population counted over BOTH sides: a boilerplate bucket
+        # is degenerate no matter which frame its members came from
+        ok = (
+            allb.groupBy("band", "bhash").agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= max_bucket).select("band", "bhash")
+        )
+        allb = allb.join(ok, ["band", "bhash"])
+    lhs = allb.filter(F.col("is_new")).alias("l")
+    rhs = allb.alias("r")
+    cand = (
+        lhs.join(rhs, (F.col("l.band") == F.col("r.band"))
+                 & (F.col("l.bhash") == F.col("r.bhash"))
+                 & ((~F.col("r.is_new"))
+                    | (F.col("r.doc_id") < F.col("l.doc_id"))))
+        .select(F.col("l.doc_id").alias("loser"),
+                F.col("r.doc_id").alias("other"),
+                F.col("r.is_new").alias("other_new"))
+        .distinct()
+    )
+
+    # 3. verify: shingle only the touched resident docs
+    touched_res = cand.filter(~F.col("other_new")) \
+        .select(F.col("other").alias("doc_id")).distinct()
+    sh_res = shingles(resident.join(touched_res, "doc_id"), n)
+    sh_all = sh_new.unionByName(sh_res)
+    sizes = sh_all.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        cand.join(sh_all.select(F.col("doc_id").alias("loser"), "shingle"),
+                  "loser")
+        .join(sh_all.select(F.col("doc_id").alias("other"), "shingle"),
+              ["other", "shingle"])
+        .groupBy("loser", "other").agg(F.count("*").alias("n_inter"))
+    )
+    losers = (
+        inter.join(sizes.select(F.col("doc_id").alias("loser"),
+                                F.col("n_sh").alias("na")), "loser")
+        .join(sizes.select(F.col("doc_id").alias("other"),
+                           F.col("n_sh").alias("nb")), "other")
+        .filter(F.col("n_inter")
+                / (F.col("na") + F.col("nb") - F.col("n_inter"))
+                >= threshold)
+        .select(F.col("loser").alias("doc_id")).distinct()
+    )
+    return live.join(losers, "doc_id", "left_anti")
+
+
 def deterministic_split(docs: DataFrame, test_pct: int = 20,
                         key_col: str = "doc_id", by_content: bool = False,
                         salt: str = "split:v1",

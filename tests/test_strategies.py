@@ -489,3 +489,30 @@ def test_contamination_and_decontaminate(spark):
     b = sorted(map(tuple,
                    TX.contamination(corpus, bench, shingles_df=sh).collect()))
     assert a == b
+
+
+def test_dedup_increment_admission_rules(spark):
+    """Incremental dedup: exact resident copies drop before shingling,
+    near-dups of resident drop in the verify stage (resident wins
+    regardless of id), new-new near-dups keep the smaller id, short docs
+    skip the near-dup stage but not the exact one, and resident-internal
+    duplicates are untouched (the increment never re-pairs the corpus)."""
+    from openpoiservice_spark.operators import text as TX
+
+    base = "the quick brown fox jumps over the lazy dog again and again %d"
+    resident = spark.createDataFrame(
+        [(1, base % 1), (2, base % 1),   # resident-internal dup: not ours
+         (3, "completely different resident material about spark engines"),
+         (4, "tiny")],                   # short resident doc
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(101, base % 1),                # exact copy of resident -> exact stage
+         (102, (base % 1) + " x"),       # near-dup of resident -> verify stage
+         (103, "fresh unseen document with plenty of novel words inside"),
+         (104, "fresh unseen document with plenty of novel words inside!"),
+         (105, "tiny"),                  # short + exact resident copy -> drop
+         (106, "abc")],                  # short + novel -> admitted unshingled
+        "doc_id long, text string")
+    got = {r.doc_id for r in
+           TX.dedup_increment(new, resident, threshold=0.2).collect()}
+    assert got == {103, 106}
