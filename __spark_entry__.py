@@ -822,6 +822,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ANN.batch_topk_ivf(emb, _batch_queries(emb, 5), 10,
                                   _CENTROIDS, nprobe=2)
 
+    def ann_recall(spark, sf):
+        # index-quality observability: per-query recall@k of the batch IVF
+        # tier against the batch brute baseline — two jobs for N probes
+        emb = _emb(spark, sf)
+        qs = _batch_queries(emb, 5)
+        approx = ANN.batch_topk_ivf(emb, qs, 10, _CENTROIDS, nprobe=2)
+        exact = ANN.batch_topk_brute(emb, qs, 10)
+        return ANN.batch_recall(approx, exact, 10)
+
     def compact_identity(spark, sf):
         # round-5 verdict item 7: prepare.compact under the oracle — build a
         # pcell-partitioned table from the poi view in THREE append slices
@@ -1089,6 +1098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_pyramid": tile_pyramid,
         "tile_top_category": tile_top_cat,
         "dedup_increment": dedup_incr,
+        "ann_recall_ivf": ann_recall,
         "doc_contamination": doc_contamination,
         "ivf_cell_stats": ivf_cell_stats,
         "split_by_component": split_by_component,
@@ -1325,6 +1335,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM t WHERE rn = 1"
         ),
         "dedup_increment": _sql_dedup_increment(),
+        # recall twin composes the existing IVF-batch and brute-batch twins
+        # (same modulo-5 probe set) as derived tables and joins them
+        "ann_recall_ivf": (
+            f"WITH ap AS (SELECT * FROM ({_sql_ann_batch_ivf()}) t1), "
+            f"ex AS (SELECT * FROM ({_sql_ann_batch_brute(modulo=5)}) t2), "
+            "hit AS (SELECT a.query_id, count(*) AS n_hit FROM ap a "
+            "JOIN ex e ON e.query_id = a.query_id AND e.vec_id = a.vec_id "
+            "GROUP BY 1), "
+            "qs AS (SELECT DISTINCT query_id FROM ex) "
+            "SELECT q.query_id, coalesce(n_hit, 0) AS n_hit, "
+            "round(coalesce(n_hit, 0) / 10, 6) AS recall "
+            "FROM qs q LEFT JOIN hit h ON h.query_id = q.query_id"
+        ),
         "tile_pixels_z14": (
             # clamped to the zoom-14 grid [0, 2^14*256) exactly like
             # tiles.assign_tiles (polar/edge rasters clip, never emit

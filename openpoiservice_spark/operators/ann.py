@@ -484,6 +484,34 @@ def batch_topk_brute(emb: DataFrame, queries: DataFrame, k: int = 10,
     return _topk_per_query(cand, k)
 
 
+def batch_recall(approx: DataFrame, exact: DataFrame, k: int,
+                 query_id: str = "query_id") -> DataFrame:
+    """Index-quality observability: per-query recall@k of an approximate
+    batch result against the exact one — (query_id, n_hit, recall).
+
+    Both inputs come from the batch_topk* family, so measuring recall over
+    N probes costs TWO jobs total (one approximate, one brute), never 2N
+    per-query plans.  This is the measurement that set DEFAULT_NPROBE (the
+    recall curve in tests/test_strategies.py) turned into a reusable
+    operator: run it on a sampled probe set after every index append /
+    retrain (ivf_table_stats tells you occupancy drifted; batch_recall
+    tells you whether search quality actually moved).  Queries the
+    approximate tier missed entirely still appear, with recall 0."""
+    hit = (
+        approx.select(query_id, "vec_id")
+        .join(exact.select(query_id, "vec_id"), [query_id, "vec_id"])
+        .groupBy(query_id).agg(F.count("*").alias("n_hit"))
+    )
+    qs = exact.select(query_id).distinct()
+    return (
+        qs.join(hit, query_id, "left")
+        .select(query_id,
+                F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+                F.round(F.coalesce("n_hit", F.lit(0)) / F.lit(k), 6)
+                .alias("recall"))
+    )
+
+
 def batch_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
                planes: np.ndarray | None = None,
                query_id: str = "query_id", qvec_col: str = "qvec",

@@ -239,3 +239,24 @@ def test_ivf_cell_stats_table_matches_column_variant(spark, emb, tmp_path):
     plan = _plan(ANN.ivf_table_stats(spark, path))
     assert "ReadSchema: struct<>" in plan  # vector/id columns pruned
     assert "HashAggregate" in plan  # partial agg, not a global sort
+
+
+def test_batch_recall_bounds_and_misses(emb, queries):
+    """batch_recall: identical frames give recall 1.0 for every query,
+    a query the approximate tier missed entirely still appears with
+    recall 0, and partial overlap counts exactly."""
+    exact = ANN.batch_topk_brute(emb, queries, k=5).cache()
+    perfect = ANN.batch_recall(exact, exact, 5).collect()
+    assert perfect and all(r.recall == 1.0 and r.n_hit == 5 for r in perfect)
+    n_q = len(perfect)
+
+    # drop one query's rows and halve-ish another's: recall reflects both
+    qids = sorted({r.query_id for r in perfect})
+    gone, cut = qids[0], qids[1]
+    approx = exact.filter(F.col("query_id") != gone).filter(
+        ~((F.col("query_id") == cut) & (F.col("vec_id") % 2 == 0)))
+    got = {r.query_id: r for r in ANN.batch_recall(approx, exact, 5).collect()}
+    assert len(got) == n_q                      # missed query still reported
+    assert got[gone].n_hit == 0 and got[gone].recall == 0.0
+    assert 0 < got[cut].n_hit < 5
+    assert got[cut].recall == round(got[cut].n_hit / 5, 6)
