@@ -396,6 +396,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         view = D.spark_poi_view(spark, sf)
         return TI.tile_count_pyramid(view, 14, (12, 10))
 
+    def stream_tiles(spark, sf):
+        # streaming x geo: the poi view replayed as 3 file micro-batches
+        # (maxFilesPerTrigger=1) through stream_tile_counts — incremental
+        # state merge across batches must land on the batch histogram
+        import os
+        import tempfile
+        import uuid
+
+        from openpoiservice_spark import streaming as STR
+
+        view = D.spark_poi_view(spark, sf).select("lon", "lat")
+        root = tempfile.mkdtemp(prefix="stream_tiles_gate_")
+        raw = os.path.join(root, "raw")
+        view.repartition(3).write.mode("overwrite").parquet(raw)
+        src = (spark.readStream.schema(view.schema)
+               .option("maxFilesPerTrigger", "1").parquet(raw))
+        name = f"stream_tiles_{uuid.uuid4().hex[:8]}"
+        q = (STR.stream_tile_counts(src, 14).writeStream
+             .outputMode("complete").format("memory").queryName(name)
+             .option("checkpointLocation", os.path.join(root, "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return spark.table(name)
+
     def tile_top_cat(spark, sf):
         # dominant category per tile — argmax via min(struct(-n, cat)),
         # deterministic smallest-cat tie-break, no sort window
@@ -1099,6 +1123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_top_category": tile_top_cat,
         "dedup_increment": dedup_incr,
         "ann_recall_ivf": ann_recall,
+        "stream_tiles_z14": stream_tiles,
         "doc_contamination": doc_contamination,
         "ivf_cell_stats": ivf_cell_stats,
         "split_by_component": split_by_component,
@@ -1335,6 +1360,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM t WHERE rn = 1"
         ),
         "dedup_increment": _sql_dedup_increment(),
+        # streaming tile histogram converges to the batch histogram: the
+        # twin is the plain per-tile count (z14 base of the pyramid twin)
+        "stream_tiles_z14": (
+            f"{_POI} SELECT {tx14} AS tx, {ty14} AS ty, count(*) AS n "
+            "FROM poi GROUP BY 1, 2"
+        ),
         # recall twin composes the existing IVF-batch and brute-batch twins
         # (same modulo-5 probe set) as derived tables and joins them
         "ann_recall_ivf": (

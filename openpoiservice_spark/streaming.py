@@ -274,6 +274,29 @@ def stream_dedup(events: DataFrame, key_cols: tuple[str, ...] = ("event_id",),
             .dropDuplicatesWithinWatermark(list(key_cols)))
 
 
+def stream_tile_counts(points: DataFrame, z: int = 14,
+                       lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """Streaming tile histogram: incremental (tx, ty, n) counts over an
+    unbounded point stream — the live-map rollup (batch analogue:
+    tiles.tile_histogram / tile_count_pyramid's base level).
+
+    Tile assignment is the SAME closed-form mercator expression the batch
+    gates use (stateless, whole-stage codegen); the only stateful operator
+    is the groupBy count, whose state is bounded by the TILE COUNT at zoom
+    z (<= 4^z, in practice the visited-tile count), not the stream length
+    — no watermark needed for correctness, counts are eternal totals.
+    Emit complete-mode snapshots for bounded tile sets (memory/console) or
+    update mode into an upsert sink (Delta/Iceberg MERGE, kv) when the
+    visited-tile set itself is too large to re-emit per batch."""
+    from .derive import sql_mercator_tile
+
+    tx, ty = sql_mercator_tile(lon, lat, z)
+    return (
+        points.select(F.expr(tx).alias("tx"), F.expr(ty).alias("ty"))
+        .groupBy("tx", "ty").agg(F.count("*").alias("n"))
+    )
+
+
 def stream_sessionize_update(events, gap_s: int = 1800, watermark: str = "1 hour"):
     """Sessionization with RETRACTION — the update-mode alternative to
     `stream_sessionize` (round-3 verdict item 5 offered either: assert the

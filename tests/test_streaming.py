@@ -580,3 +580,40 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     rows = spark.sql("SELECT event_id, CAST(ts AS LONG) AS t FROM dd").collect()
     assert sorted((r.event_id, r.t) for r in rows) == \
         [(1, 1000), (2, 1010), (3, 1020), (4, 2000)]
+
+
+def test_stream_tile_counts_incremental(spark, tmp_path):
+    """stream_tile_counts over 3 file micro-batches: at least 3 batches
+    actually run (maxFilesPerTrigger=1), the final complete-mode snapshot
+    equals the batch tile histogram exactly, and totals are preserved."""
+    import numpy as np
+    import pandas as pd
+
+    from openpoiservice_spark import streaming as STR
+    from openpoiservice_spark.derive import sql_mercator_tile
+
+    rng = np.random.default_rng(23)
+    pdf = pd.DataFrame({
+        "lon": rng.uniform(-170.0, 170.0, 300),
+        "lat": rng.uniform(-80.0, 80.0, 300),
+    })
+    raw = str(tmp_path / "raw")
+    df = spark.createDataFrame(pdf)
+    df.repartition(3).write.mode("overwrite").parquet(raw)
+
+    src = (spark.readStream.schema(df.schema)
+           .option("maxFilesPerTrigger", "1").parquet(raw))
+    q = (STR.stream_tile_counts(src, 14).writeStream
+         .outputMode("complete").format("memory").queryName("st_tiles")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 3  # one micro-batch per file
+
+    got = {(r.tx, r.ty): r.n for r in spark.table("st_tiles").collect()}
+    tx, ty = sql_mercator_tile("lon", "lat", 14)
+    want = {(r.tx, r.ty): r.n for r in
+            df.select(F.expr(tx).alias("tx"), F.expr(ty).alias("ty"))
+            .groupBy("tx", "ty").agg(F.count("*").alias("n")).collect()}
+    assert got == want
+    assert sum(got.values()) == 300
