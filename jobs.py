@@ -49,6 +49,17 @@ def main(argv=None):
     sc.add_argument("--max-bucket", type=int, default=100_000,
                     help="LSH skew guard (oversized buckets skip pairing)")
 
+    sdi = sub.add_parser("dedup-increment",
+                         help="admit a crawl increment against the resident "
+                              "corpus (resident never self-pairs)")
+    sdi.add_argument("--new", required=True, help="new documents parquet")
+    sdi.add_argument("--resident", required=True,
+                     help="resident (already-curated) documents parquet")
+    sdi.add_argument("--out", default=None,
+                     help="optional parquet path for admitted doc_ids")
+    sdi.add_argument("--threshold", type=float, default=0.2)
+    sdi.add_argument("--max-bucket", type=int, default=100_000)
+
     ss = sub.add_parser("sessions", help="stateful streaming sessionization")
     ss.add_argument("--events-dir", required=True)
     ss.add_argument("--out", required=True)
@@ -213,6 +224,17 @@ def main(argv=None):
         if args.out:
             kept.write.mode("overwrite").parquet(args.out)
         print(json.dumps({"kept": kept.count(), "total": docs.count()}))
+    elif args.cmd == "dedup-increment":
+        from openpoiservice_spark.operators import text as TX
+
+        new = spark.read.parquet(args.new)
+        resident = spark.read.parquet(args.resident)
+        admitted = TX.dedup_increment(new, resident, args.threshold,
+                                      max_bucket=args.max_bucket)
+        if args.out:
+            admitted.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"admitted": admitted.count(),
+                          "new_total": new.count()}))
     elif args.cmd == "sessions":
         from pyspark.sql import types as T
 
