@@ -855,6 +855,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         exact = ANN.batch_topk_brute(emb, qs, 10)
         return ANN.batch_recall(approx, exact, 10)
 
+    def ann_recall_ivfpq(spark, sf):
+        # recall@k of the COMPRESSED tier: the IVF+PQ written-layout batch
+        # search (per-pair ADC shortlist + exact re-rank) measured against
+        # the brute baseline over the same modulo-9 probe set — the
+        # quality check a PQ retrain runs before swapping codebooks in.
+        # Still two jobs for N probes; composes three existing operators.
+        path = _ivfpq_table(spark, sf)
+        emb = _emb(spark, sf)
+        qs = _batch_queries(emb, 9)
+        approx = ANN.batch_topk_ivfpq_table(spark, path, qs, 10,
+                                            nprobe=2, shortlist=4)
+        exact = ANN.batch_topk_brute(emb, qs, 10)
+        return ANN.batch_recall(approx, exact, 10)
+
     def compact_identity(spark, sf):
         # round-5 verdict item 7: prepare.compact under the oracle — build a
         # pcell-partitioned table from the poi view in THREE append slices
@@ -1123,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_top_category": tile_top_cat,
         "dedup_increment": dedup_incr,
         "ann_recall_ivf": ann_recall,
+        "ann_recall_ivfpq": ann_recall_ivfpq,
         "stream_tiles_z14": stream_tiles,
         "doc_contamination": doc_contamination,
         "ivf_cell_stats": ivf_cell_stats,
@@ -1164,12 +1179,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_top10": ann_ivf,
         "ann_pairs": ann_pairs,
         "image_phash_pairs": image_phash_pairs,
-        "image_phash_capped": image_phash_capped,
         "dedup_exact": dedup_exact,
         "minhash_signatures": minhash_sigs,
         "lsh_candidate_pairs": lsh_pairs,
         "lsh_pairs_capped": lsh_pairs_capped,
         "near_dup_jaccard": near_dup,
+        # capped invariance twin of image_phash_pairs — retired to the
+        # veteran tail (outside the driver's 50-row window) to make room
+        # for ann_recall_ivfpq; 3 rounds of green driver rows behind it
+        "image_phash_capped": image_phash_capped,
         "simhash16": simhash16,
         "lang_id": lang_id,
         "quality_score": quality,
@@ -1371,6 +1389,19 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall_ivf": (
             f"WITH ap AS (SELECT * FROM ({_sql_ann_batch_ivf()}) t1), "
             f"ex AS (SELECT * FROM ({_sql_ann_batch_brute(modulo=5)}) t2), "
+            "hit AS (SELECT a.query_id, count(*) AS n_hit FROM ap a "
+            "JOIN ex e ON e.query_id = a.query_id AND e.vec_id = a.vec_id "
+            "GROUP BY 1), "
+            "qs AS (SELECT DISTINCT query_id FROM ex) "
+            "SELECT q.query_id, coalesce(n_hit, 0) AS n_hit, "
+            "round(coalesce(n_hit, 0) / 10, 6) AS recall "
+            "FROM qs q LEFT JOIN hit h ON h.query_id = q.query_id"
+        ),
+        # compressed-tier recall twin: the full IVF+PQ algorithm twin and
+        # the brute twin at the SAME modulo-9 probe set, joined on hits
+        "ann_recall_ivfpq": (
+            f"WITH ap AS (SELECT * FROM ({_sql_ann_batch_ivfpq()}) t1), "
+            f"ex AS (SELECT * FROM ({_sql_ann_batch_brute(modulo=9)}) t2), "
             "hit AS (SELECT a.query_id, count(*) AS n_hit FROM ap a "
             "JOIN ex e ON e.query_id = a.query_id AND e.vec_id = a.vec_id "
             "GROUP BY 1), "

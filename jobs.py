@@ -59,6 +59,23 @@ def main(argv=None):
                      help="optional parquet path for admitted doc_ids")
     sdi.add_argument("--threshold", type=float, default=0.2)
     sdi.add_argument("--max-bucket", type=int, default=100_000)
+    sdi.add_argument("--band-index", default=None,
+                     help="maintained resident band index (band-index "
+                          "subcommand) — skips the resident text scan; its "
+                          "sidecar params drive the new side's banding too")
+    sdi.add_argument("--maintain", action="store_true",
+                     help="append the admitted docs' band keys to "
+                          "--band-index after admission (idempotent)")
+
+    sbi = sub.add_parser("band-index",
+                         help="build the maintained LSH band index of a "
+                              "resident corpus (dedup-increment "
+                              "--band-index input)")
+    sbi.add_argument("--docs", required=True, help="corpus parquet")
+    sbi.add_argument("--out", required=True, help="index path")
+    sbi.add_argument("-k", type=int, default=8)
+    sbi.add_argument("--bands", type=int, default=2)
+    sbi.add_argument("-n", type=int, default=5)
 
     ss = sub.add_parser("sessions", help="stateful streaming sessionization")
     ss.add_argument("--events-dir", required=True)
@@ -229,12 +246,33 @@ def main(argv=None):
 
         new = spark.read.parquet(args.new)
         resident = spark.read.parquet(args.resident)
+        kwargs = {}
+        if args.band_index:
+            # both sides MUST band with the index's persisted params or
+            # the new side's bucket keys would never collide with resident
+            params = TX.read_band_params(spark, args.band_index) or {}
+            kwargs = {kw: params[kw] for kw in
+                      ("k", "bands", "n", "hash_fn") if kw in params}
+            kwargs["resident_banded"] = \
+                TX.read_band_index(spark, args.band_index)
         admitted = TX.dedup_increment(new, resident, args.threshold,
-                                      max_bucket=args.max_bucket)
+                                      max_bucket=args.max_bucket,
+                                      **kwargs).persist()
+        out = {"admitted": admitted.count(), "new_total": new.count()}
         if args.out:
             admitted.write.mode("overwrite").parquet(args.out)
-        print(json.dumps({"admitted": admitted.count(),
-                          "new_total": new.count()}))
+        if args.band_index and args.maintain:
+            out["bands_appended"] = TX.append_band_index(
+                spark, args.band_index, new.join(admitted, "doc_id"))
+        admitted.unpersist()
+        print(json.dumps(out))
+    elif args.cmd == "band-index":
+        from openpoiservice_spark.operators import text as TX
+
+        docs = spark.read.parquet(args.docs)
+        TX.write_band_index(docs, args.out, k=args.k, bands=args.bands,
+                            n=args.n)
+        print(json.dumps({"docs": docs.count(), "index": args.out}))
     elif args.cmd == "sessions":
         from pyspark.sql import types as T
 

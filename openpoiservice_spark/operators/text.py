@@ -294,8 +294,11 @@ def dedup_increment(new_docs: DataFrame, resident: DataFrame,
 
     Docs shorter than n chars cannot shingle and pass the near-dup stage
     untouched — the exact stage still guards them (contamination()'s
-    policy).  The two frames' doc_id spaces must be disjoint.  Returns
-    the admitted new (doc_id) rows.
+    policy).  The two frames' doc_id spaces should be disjoint; the one
+    sanctioned overlap is a REPLAY (the same increment re-run after its
+    docs were already appended to the corpus), which admits nothing —
+    the daily job is idempotent at the corpus level.  Returns the
+    admitted new (doc_id) rows.
     """
     from pyspark import StorageLevel
 
@@ -342,7 +345,12 @@ def dedup_increment(new_docs: DataFrame, resident: DataFrame,
     touched_res = cand.filter(~F.col("other_new")) \
         .select(F.col("other").alias("doc_id")).distinct()
     sh_res = shingles(resident.join(touched_res, "doc_id"), n)
-    sh_all = sh_new.unionByName(sh_res)
+    # distinct() collapses cross-frame duplicates: a REPLAYED increment
+    # whose docs were already appended to the corpus sees its own ids on
+    # both sides, and double-counted shingles would drive the self-pair's
+    # union size to zero (divide-by-zero) instead of Jaccard 1.0.  Bounded
+    # by increment + touched docs, never the corpus.
+    sh_all = sh_new.unionByName(sh_res).distinct()
     sizes = sh_all.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         cand.join(sh_all.select(F.col("doc_id").alias("loser"), "shingle"),
@@ -362,6 +370,93 @@ def dedup_increment(new_docs: DataFrame, resident: DataFrame,
         .select(F.col("loser").alias("doc_id")).distinct()
     )
     return live.join(losers, "doc_id", "left_anti")
+
+
+BAND_PARAMS_FILE = "_band_params.json"
+
+
+def write_band_index(docs: DataFrame, path: str, k: int = 8, bands: int = 2,
+                     n: int = 5, hash_fn: str = "md5") -> None:
+    """Materialize the resident corpus's LSH band index — the maintained
+    (doc_id, band, bhash) table `dedup_increment(resident_banded=)` reads
+    so the daily increment never re-scans the corpus text.  The banding
+    parameters are persisted as a sidecar (the `write_ivf_table` codebook
+    pattern): an append MUST band with the same (k, bands, n, hash_fn) or
+    its bucket keys would never collide with the resident ones."""
+    import json
+
+    from ..prepare import _hadoop_fs
+
+    _banded(docs, k, bands, n, hash_fn) \
+        .write.mode("overwrite").partitionBy("band").parquet(path)
+    spark = docs.sparkSession
+    fs, p = _hadoop_fs(spark, f"{path}/{BAND_PARAMS_FILE}")
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(json.dumps(
+            {"k": k, "bands": bands, "n": n, "hash_fn": hash_fn}
+        ).encode("ascii")))
+    finally:
+        out.close()
+
+
+def read_band_params(spark, path: str) -> dict | None:
+    """The index's persisted banding parameters, or None (pre-sidecar)."""
+    import json
+
+    from ..prepare import _hadoop_fs
+
+    fs, p = _hadoop_fs(spark, f"{path}/{BAND_PARAMS_FILE}")
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        data = []
+        while True:
+            b = stream.read()
+            if b < 0:
+                break
+            data.append(b)
+        return json.loads(bytes(data).decode("ascii"))
+    finally:
+        stream.close()
+
+
+def read_band_index(spark, path: str) -> DataFrame:
+    """The (doc_id, band, bhash) frame `dedup_increment` accepts as
+    `resident_banded=` — column-pruned read of the maintained index."""
+    return spark.read.parquet(path).select("doc_id", "band", "bhash")
+
+
+def append_band_index(spark, path: str, admitted_docs: DataFrame,
+                      dedup: bool = True, timeout_s: float = 120.0) -> int:
+    """Index maintenance after an admission: band ONLY the newly-admitted
+    docs with the index's persisted parameters and append their keys —
+    the text.py twin of `ann.append_ivf_table`.  Runs under the table
+    commit lock (owner-fenced, dead-writer swept) and anti-joins resident
+    doc_ids so replays are idempotent.  Returns the rows appended (docs
+    shorter than n chars have no bands; admitting them appends nothing,
+    matching `dedup_increment`'s unshingleable-docs policy)."""
+    from ..prepare import commit_lock
+
+    params = read_band_params(spark, path)
+    if params is None:
+        raise ValueError(f"{path} has no {BAND_PARAMS_FILE}; "
+                         "write_band_index it first")
+    with commit_lock(spark, path, timeout_s=timeout_s):
+        add = admitted_docs
+        if dedup:
+            resident = spark.read.parquet(path).select("doc_id").distinct()
+            add = add.join(resident, "doc_id", "left_anti")
+        banded = _banded(add, params["k"], params["bands"], params["n"],
+                         params["hash_fn"]).persist()
+        try:
+            rows = banded.count()  # materialize ONCE: count + write share it
+            if rows:
+                banded.write.mode("append").partitionBy("band").parquet(path)
+        finally:
+            banded.unpersist()
+        return rows
 
 
 def deterministic_split(docs: DataFrame, test_pct: int = 20,

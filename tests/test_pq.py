@@ -260,3 +260,24 @@ def test_pq_recon_matches_numpy(spark):
         assert np.allclose(got[i], ref)
         qu = q / np.linalg.norm(q)
         assert abs(float(qu @ ref) - _np_adc(ref_codes[i:i + 1], q, cb)[0]) < 1e-9
+
+
+def test_ivfpq_recall_full_probe_is_one(spark, tmp_path):
+    """The compressed-tier quality loop (gate ann_recall_ivfpq) has a hard
+    floor: probe ALL cells with an ADC shortlist covering the whole table
+    and the exact re-rank IS brute force, so batch_recall must report 1.0
+    for every query — any miss would be a composition bug, not an
+    approximation artifact.  (Recall at small nprobe is data-dependent and
+    asserted on clustered fixtures in test_pq_trained_recall_clustered.)"""
+    _, emb = _rand_emb(spark, n=200, seed=14)
+    cent = ANN.ivf_centroids()
+    path = str(tmp_path / "ivfpq")
+    ANN.write_ivfpq_table(emb, path, cent, ANN.pq_codebooks())
+    queries = emb.filter(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    approx = ANN.batch_topk_ivfpq_table(spark, path, queries, 5,
+                                        nprobe=len(cent), shortlist=40)
+    exact = ANN.batch_topk_brute(emb, queries, 5)
+    got = ANN.batch_recall(approx, exact, 5).collect()
+    assert len(got) == queries.count()
+    assert all(r.recall == 1.0 and r.n_hit == 5 for r in got)
