@@ -184,25 +184,42 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.2, n: int = 5,
     `shingles(docs)`, i.e. 3 full text scans + explodes at 100 TB): the
     per-doc shingle counts ride the signature aggregation (`with_sizes`),
     and the raw shingle frame is shared between the banding and
-    intersection stages.  cache=True (default) persists that shared frame
-    (memory-then-disk) so the two consumers scan it once; pass
-    shingles_df= to reuse an existing frame and own its lifecycle, or
-    cache=False to trade the recompute for zero cache footprint."""
+    intersection stages.  The exact-intersection join reads shingles of
+    CANDIDATE docs only (semi-join on the pair frame's doc ids before the
+    (doc, shingle) shuffle — at corpus scale the candidates are a sliver,
+    and shuffling the whole explode to verify a sliver was the plan's one
+    remaining full-width shuffle).  cache=True (default) persists the
+    shared shingle frame and the twice-read candidate pairs
+    (memory-then-disk); pass shingles_df= to reuse an existing frame and
+    own its lifecycle, or cache=False to trade recomputes for zero cache
+    footprint."""
+    from pyspark import StorageLevel
+
     own_cache = shingles_df is None and cache
     sh = shingles(docs, n) if shingles_df is None else shingles_df
     if own_cache:
-        from pyspark import StorageLevel
-
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sig = minhash_signatures(docs, k, n, hash_fn, shingles_df=sh,
                              with_sizes=True)
     cand = _pairs_from_banded(
         _banded_from_sig(sig.drop("n_sh"), k, bands), max_bucket)
+    if cache:
+        # consumed twice (touched-doc restriction + the pair join); small
+        cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sig.select("doc_id", "n_sh")
+    # the intersection join only ever reads shingles of docs that appear
+    # in some candidate pair — semi-join FIRST, so the (doc, shingle)
+    # shuffle carries candidate docs only, never the whole corpus (the
+    # candidate set is tiny relative to 100 TB of documents; the pair
+    # frame itself is broadcast-sized, so the restriction is a broadcast
+    # hash join over the cached shingle scan, not another big shuffle)
+    touched = cand.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")).distinct()
+    sh_c = sh.join(F.broadcast(touched), "doc_id")
     inter = (
-        cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        cand.join(sh_c.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .join(
-            sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle")),
+            sh_c.select(F.col("doc_id").alias("doc_b"), F.col("shingle")),
             ["doc_b", "shingle"],
         )
         .groupBy("doc_a", "doc_b")
