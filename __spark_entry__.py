@@ -389,6 +389,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("z", "tx", "ty", "n_images", "total_px")
         )
 
+    def tile_heatmap_meta(spark, sf):
+        # the raster SINK of the live-map stack under the oracle: native
+        # (tile, pixel) binning + per-tile reduction, verified on the
+        # metadata columns (n_points / n_hot / max_n); the PNG bytes the
+        # same applyInPandas emits are golden'd in pytest via the repo's
+        # own decoder roundtrip — zlib output is not SQL-expressible
+        view = D.spark_poi_view(spark, sf)
+        return TI.tile_heatmaps(view, z=10).select(
+            "z", "tx", "ty", "n_points", "n_hot", "max_n")
+
     def tile_pyramid(spark, sf):
         # multi-zoom rollup from ONE input pass: z12/z10 derived from the
         # z14 AGGREGATE by bit-shift (slippy tiles nest exactly), not by
@@ -1129,6 +1139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verdict item 1 — 5 rounds of green driver rows stand behind the tail).
     return {
         # -- round 6 (newest) -------------------------------------------
+        "tile_heatmap_meta": tile_heatmap_meta,
         "ann_pq_top10": ann_pq,
         "ann_ivfpq_top10": ann_ivfpq,
         "ann_ivfpq_table_top10": ann_ivfpq_table,
@@ -1180,10 +1191,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pairs": ann_pairs,
         "image_phash_pairs": image_phash_pairs,
         "dedup_exact": dedup_exact,
+        # near_dup_jaccard moved INSIDE the window this round: its
+        # intersection join changed (candidate-doc restriction) and a
+        # changed operator deserves a driver row; minhash_signatures and
+        # lsh_candidate_pairs are components near_dup exercises end-to-end
+        # (signatures + banding + pairing + verify) and retire to the
+        # veteran tail on 4 rounds of green driver rows each
+        "near_dup_jaccard": near_dup,
         "minhash_signatures": minhash_sigs,
         "lsh_candidate_pairs": lsh_pairs,
         "lsh_pairs_capped": lsh_pairs_capped,
-        "near_dup_jaccard": near_dup,
         # capped invariance twin of image_phash_pairs — retired to the
         # veteran tail (outside the driver's 50-row window) to make room
         # for ann_recall_ivfpq; 3 rounds of green driver rows behind it
@@ -1357,6 +1374,25 @@ def oracle_sql() -> dict[str, str]:
         # pyramid twin mirrors the rollup-from-aggregate: coarser zooms
         # integer-divide the z14 histogram's tile ids (shiftright == // 2^s
         # for the non-negative clamped ids)
+        # heatmap metadata twin: identical clamped global-pixel binning at
+        # z=10/dim=256 subpixel resolution, per-pixel counts, per-tile
+        # reduction (PNG bytes are pytest-golden'd, not SQL-expressible)
+        "tile_heatmap_meta": (
+            f"{_POI}, g AS (SELECT "
+            f"least({(1 << 10) * 256 - 1}, greatest(0, CAST(floor("
+            f"((lon + 180.0) / 360.0) * {float((1 << 10) * 256)!r}) AS BIGINT))) AS gx, "
+            f"least({(1 << 10) * 256 - 1}, greatest(0, CAST(floor("
+            f"((1.0 - ln(tan(radians(lat)) + sqrt(tan(radians(lat)) * tan(radians(lat)) + 1.0)) "
+            f"/ {math.pi!r}) / 2.0) * {float((1 << 10) * 256)!r}) AS BIGINT))) AS gy "
+            "FROM poi), "
+            "p AS (SELECT CAST(floor(gx / 256.0) AS BIGINT) AS tx, "
+            "CAST(floor(gy / 256.0) AS BIGINT) AS ty, "
+            "gx % 256 AS px, gy % 256 AS py FROM g), "
+            "c AS (SELECT tx, ty, px, py, count(*) AS n FROM p GROUP BY 1, 2, 3, 4) "
+            "SELECT 10 AS z, tx, ty, CAST(sum(n) AS BIGINT) AS n_points, "
+            "count(*) AS n_hot, CAST(max(n) AS BIGINT) AS max_n "
+            "FROM c GROUP BY 2, 3"
+        ),
         "tile_pyramid": (
             f"{_POI}, b AS (SELECT {tx14} AS tx, {ty14} AS ty, "
             "count(*) AS n FROM poi GROUP BY 1, 2) "

@@ -91,6 +91,14 @@ def main(argv=None):
     st.add_argument("--zoom", type=int, default=14)
     st.add_argument("--out", default=None, help="optional parquet output path")
 
+    sh = sub.add_parser("heatmaps",
+                        help="render per-tile point-density heatmap PNGs "
+                             "(the live-map raster sink)")
+    sh.add_argument("--prepared", required=True)
+    sh.add_argument("--zoom", type=int, default=14)
+    sh.add_argument("--out", required=True,
+                    help="parquet output (z, tx, ty, metadata, png)")
+
     sm = sub.add_parser("stream", help="drain new raw files (availableNow)")
     sm.add_argument("--raw-dir", required=True)
     sm.add_argument("--prepared", required=True)
@@ -323,6 +331,14 @@ def main(argv=None):
             print(json.dumps({"tiles": hist.count(), "out": args.out}))
         else:
             print(json.dumps({"tiles": hist.count()}))
+    elif args.cmd == "heatmaps":
+        from openpoiservice_spark import prepare, tiles
+
+        df = prepare.read_prepared(spark, args.prepared)
+        hm = tiles.tile_heatmaps(df.select("lon", "lat"), z=args.zoom)
+        hm.write.mode("overwrite").partitionBy("z").parquet(args.out)
+        print(json.dumps({"tiles": spark.read.parquet(args.out).count(),
+                          "out": args.out}))
     elif args.cmd == "stream":
         from openpoiservice_spark import streaming
 

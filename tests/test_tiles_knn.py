@@ -401,3 +401,64 @@ def test_tile_top_category_argmax_and_ties(spark):
     assert "Window" not in plan
     assert "partial_min" in plan and "partial_count" in plan
     assert plan.count("Exchange") == 2
+
+
+def test_tile_heatmaps_png_golden_and_plan(spark):
+    """tile_heatmaps: the emitted PNG decodes (repo decoder) back to
+    exactly the numpy-computed log-scaled raster; metadata columns agree
+    with a direct per-pixel count; and the (tile, pixel) aggregation is a
+    native partial HashAggregate BEFORE the single python render stage
+    (the shuffle carries hot pixels, never points)."""
+    import math
+
+    # 5 points: 3 share one pixel, 1 in a second pixel of the same tile,
+    # 1 in another tile (offset > one tile width at z=10)
+    z, dim = 10, 256
+    scale = (1 << z) * 256
+    base_lon, base_lat = 8.80, 53.07
+    pts = [(base_lon, base_lat)] * 3 + \
+          [(base_lon + 300 * 360.0 / scale, base_lat)] + \
+          [(base_lon + 3.0, base_lat)]
+    df = spark.createDataFrame(
+        [(i, lo, la) for i, (lo, la) in enumerate(pts)],
+        "poi_id long, lon double, lat double")
+    rows = {(r.tx, r.ty): r for r in tiles.tile_heatmaps(df, z=z).collect()}
+    assert len(rows) >= 2
+
+    def gpix(lon, lat):
+        xn = (lon + 180.0) / 360.0
+        t = math.tan(math.radians(lat))
+        yn = (1.0 - math.log(t + math.sqrt(t * t + 1.0)) / math.pi) / 2.0
+        gx = min(scale - 1, max(0, int(math.floor(xn * scale))))
+        gy = min(scale - 1, max(0, int(math.floor(yn * scale))))
+        return gx, gy
+
+    from collections import Counter
+    per_tile = {}
+    for lon, lat in pts:
+        gx, gy = gpix(lon, lat)
+        per_tile.setdefault((gx // dim, gy // dim), Counter())[
+            (gx % dim, gy % dim)] += 1
+    assert set(per_tile) == set(rows)
+    for tile, cnt in per_tile.items():
+        r = rows[tile]
+        assert r.n_points == sum(cnt.values())
+        assert r.n_hot == len(cnt)
+        assert r.max_n == max(cnt.values())
+        counts = np.zeros((dim, dim), dtype=np.int64)
+        for (px, py), n in cnt.items():
+            counts[py, px] = n
+        exp = tiles.heatmap_raster(counts, r.max_n)
+        got = imaging.decode_png(bytes(r.png))
+        assert got.shape == (dim, dim, 3)
+        assert np.array_equal(got, exp)
+    # the 3-point pixel must render brighter than the 1-point pixel
+    hot = rows[max(per_tile, key=lambda t: max(per_tile[t].values()))]
+    arr = imaging.decode_png(bytes(hot.png))[:, :, 0]
+    vals = sorted(arr[arr > 0].tolist(), reverse=True)
+    assert vals[0] == 255 and (len(vals) == 1 or vals[-1] < 255)
+
+    plan = tiles.tile_heatmaps(df, z=z)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final pixel agg
