@@ -345,6 +345,11 @@ def run_queries(spark, prepared: str, sf_dir: str) -> tuple[dict, dict]:
         ("radius_stats", radius_stats, "stats_groups"),
         ("knn_100", knn100, None),
         ("corridor_pixels", corridor_pixels, "pixel_tiles"),
+        # full-table raster SINK: (tile, pixel) native agg over every row
+        # + per-tile log-normalized PNG render (the live-map image layer)
+        ("tile_heatmaps_z10",
+         lambda: TI.tile_heatmaps(pois.select("lon", "lat"), z=10).count(),
+         None),
         ("image_phash_dedup", image_phash_dedup, "phash_pairs"),
         ("pois_request", pois_request, "request_features"),
         ("batch_join_200", batch_join_200, "batch_join_geoms"),
