@@ -399,6 +399,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return TI.tile_heatmaps(view, z=10).select(
             "z", "tx", "ty", "n_points", "n_hot", "max_n")
 
+    def tile_heatmap_pyr(spark, sf):
+        # multi-zoom render from ONE input pass: coarser levels roll up
+        # from the base GLOBAL PIXEL aggregate by bit-shift (pixel grids
+        # nest like tile grids); the twin re-bins the raw rows per zoom —
+        # independence is the point, the engine never rescans
+        view = D.spark_poi_view(spark, sf)
+        return TI.tile_heatmap_pyramid(view, 12, (10,)).select(
+            "z", "tx", "ty", "n_points", "n_hot", "max_n")
+
     def tile_pyramid(spark, sf):
         # multi-zoom rollup from ONE input pass: z12/z10 derived from the
         # z14 AGGREGATE by bit-shift (slippy tiles nest exactly), not by
@@ -1140,6 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- round 6 (newest) -------------------------------------------
         "tile_heatmap_meta": tile_heatmap_meta,
+        "tile_heatmap_pyramid": tile_heatmap_pyr,
         "ann_pq_top10": ann_pq,
         "ann_ivfpq_top10": ann_ivfpq,
         "ann_ivfpq_table_top10": ann_ivfpq_table,
@@ -1188,7 +1198,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_top10": ann_brute,
         "ann_lsh_top10": ann_lsh,
         "ann_ivf_top10": ann_ivf,
-        "ann_pairs": ann_pairs,
         "image_phash_pairs": image_phash_pairs,
         "dedup_exact": dedup_exact,
         # near_dup_jaccard moved INSIDE the window this round: its
@@ -1201,6 +1210,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": minhash_sigs,
         "lsh_candidate_pairs": lsh_pairs,
         "lsh_pairs_capped": lsh_pairs_capped,
+        # fixed-plane cosine pairing, subsumed by ann_pairs_auto (same
+        # pipeline, production auto-sized planes) — veteran tail
+        "ann_pairs": ann_pairs,
         # capped invariance twin of image_phash_pairs — retired to the
         # veteran tail (outside the driver's 50-row window) to make room
         # for ann_recall_ivfpq; 3 rounds of green driver rows behind it
@@ -1375,23 +1387,16 @@ def oracle_sql() -> dict[str, str]:
         # integer-divide the z14 histogram's tile ids (shiftright == // 2^s
         # for the non-negative clamped ids)
         # heatmap metadata twin: identical clamped global-pixel binning at
-        # z=10/dim=256 subpixel resolution, per-pixel counts, per-tile
+        # dim=256 subpixel resolution, per-pixel counts, per-tile
         # reduction (PNG bytes are pytest-golden'd, not SQL-expressible)
-        "tile_heatmap_meta": (
-            f"{_POI}, g AS (SELECT "
-            f"least({(1 << 10) * 256 - 1}, greatest(0, CAST(floor("
-            f"((lon + 180.0) / 360.0) * {float((1 << 10) * 256)!r}) AS BIGINT))) AS gx, "
-            f"least({(1 << 10) * 256 - 1}, greatest(0, CAST(floor("
-            f"((1.0 - ln(tan(radians(lat)) + sqrt(tan(radians(lat)) * tan(radians(lat)) + 1.0)) "
-            f"/ {math.pi!r}) / 2.0) * {float((1 << 10) * 256)!r}) AS BIGINT))) AS gy "
-            "FROM poi), "
-            "p AS (SELECT CAST(floor(gx / 256.0) AS BIGINT) AS tx, "
-            "CAST(floor(gy / 256.0) AS BIGINT) AS ty, "
-            "gx % 256 AS px, gy % 256 AS py FROM g), "
-            "c AS (SELECT tx, ty, px, py, count(*) AS n FROM p GROUP BY 1, 2, 3, 4) "
-            "SELECT 10 AS z, tx, ty, CAST(sum(n) AS BIGINT) AS n_points, "
-            "count(*) AS n_hot, CAST(max(n) AS BIGINT) AS max_n "
-            "FROM c GROUP BY 2, 3"
+        "tile_heatmap_meta": f"{_POI} {_sql_heatmap_meta(10)}",
+        # pyramid twin: DIRECT per-zoom binning (independent of the
+        # engine's rollup-from-base-aggregate trick — the twin re-bins
+        # the raw rows at every zoom, which is exactly what nesting makes
+        # unnecessary in the engine), unioned across levels
+        "tile_heatmap_pyramid": (
+            f"{_POI} {_sql_heatmap_meta(12)} "
+            f"UNION ALL {_sql_heatmap_meta(10)}"
         ),
         "tile_pyramid": (
             f"{_POI}, b AS (SELECT {tx14} AS tx, {ty14} AS ty, "
@@ -1833,6 +1838,32 @@ def _sql_sample_mix() -> str:
         f"SELECT doc_id, source, {h} % 1000000 AS k FROM documents) "
         "WHERE k < (CASE WHEN source = 'src0' THEN 0.5 "
         "WHEN source = 'src1' THEN 0.1 ELSE 0.3 END) * 1000000.0"
+    )
+
+
+def _sql_heatmap_meta(z: int, dim: int = 256) -> str:
+    """Per-zoom heatmap-metadata twin (tiles.tile_heatmaps minus the PNG):
+    clamped global-pixel binning at dim-subpixel resolution (the
+    sql_mercator_tile closed form scaled by dim), per-pixel counts, then
+    the per-tile (n_points, n_hot, max_n) reduction.  Subquery-shaped (no
+    CTE of its own) so pyramid twins can UNION ALL several zooms under
+    one `WITH poi` prefix."""
+    scale = (1 << z) * dim
+    gx = (f"least({scale - 1}, greatest(0, CAST(floor("
+          f"((lon + 180.0) / 360.0) * {float(scale)!r}) AS BIGINT)))")
+    gy = (f"least({scale - 1}, greatest(0, CAST(floor("
+          f"((1.0 - ln(tan(radians(lat)) + sqrt(tan(radians(lat)) * "
+          f"tan(radians(lat)) + 1.0)) / {math.pi!r}) / 2.0) "
+          f"* {float(scale)!r}) AS BIGINT)))")
+    return (
+        f"SELECT {z} AS z, tx, ty, CAST(sum(n) AS BIGINT) AS n_points, "
+        "count(*) AS n_hot, CAST(max(n) AS BIGINT) AS max_n FROM ("
+        "SELECT tx, ty, px, py, count(*) AS n FROM ("
+        f"SELECT CAST(floor(gx / {float(dim)!r}) AS BIGINT) AS tx, "
+        f"CAST(floor(gy / {float(dim)!r}) AS BIGINT) AS ty, "
+        f"gx % {dim} AS px, gy % {dim} AS py FROM ("
+        f"SELECT {gx} AS gx, {gy} AS gy FROM poi) g) p "
+        "GROUP BY 1, 2, 3, 4) c GROUP BY 2, 3"
     )
 
 

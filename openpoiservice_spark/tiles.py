@@ -445,3 +445,65 @@ def tile_heatmaps(df: DataFrame, z: int = 14, dim: int = 256,
              "max_n": [max_n], "png": [png]})
 
     return pix.groupBy("tx", "ty").applyInPandas(render, _HEATMAP_SCHEMA)
+
+
+def tile_heatmap_pyramid(df: DataFrame, z_base: int = 14,
+                         zooms: tuple[int, ...] = (12, 10), dim: int = 256,
+                         lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """Multi-zoom heatmap PNGs from ONE pass over the input — the full
+    tile-server render (`tile_heatmaps` at every zoom a slippy map serves)
+    with `tile_count_pyramid`'s rollup shape.
+
+    The raw table is binned once, onto the z_base GLOBAL PIXEL grid;
+    every coarser level re-aggregates that (bounded, hot-pixels-only)
+    aggregate by bit-shifted global pixel coords — exact, because the
+    pixel grids nest just like the tile grids (scale halves per level,
+    and the [0, scale-1] clamp halves consistently).  At 10^12 points
+    the input scan + wide exchange happen once; each extra zoom costs a
+    groupBy over the previous level's hot pixels, and the render stage
+    (one applyInPandas over (z, tx, ty) groups, ≤ dim^2 rows each) is
+    shared across all levels.  The base pixel aggregate is
+    localCheckpointed so the union's branches read blocks, not re-scans.
+    """
+    n0 = 1 << z_base
+    scale = float(n0 * dim)
+    xn, yn = _mercator_cols(F.col(lon), F.col(lat))
+    gx = F.least(F.lit(int(scale) - 1), F.greatest(
+        F.lit(0), F.floor(xn * scale).cast("long")))
+    gy = F.least(F.lit(int(scale) - 1), F.greatest(
+        F.lit(0), F.floor(yn * scale).cast("long")))
+    base = (
+        df.select(gx.alias("gx"), gy.alias("gy"))
+        .groupBy("gx", "gy").agg(F.count("*").alias("n_pt"))
+    ).localCheckpoint()
+    levels = base.select(F.lit(int(z_base)).alias("z"), "gx", "gy", "n_pt")
+    for z in zooms:
+        if z >= z_base:
+            raise ValueError(f"pyramid zooms must be coarser than base "
+                             f"({z} >= {z_base})")
+        s = z_base - z
+        levels = levels.unionByName(
+            base.select(F.lit(int(z)).alias("z"),
+                        F.shiftright("gx", s).alias("gx"),
+                        F.shiftright("gy", s).alias("gy"), "n_pt")
+            .groupBy("z", "gx", "gy").agg(F.sum("n_pt").alias("n_pt"))
+        )
+    pix = levels.select(
+        "z", (F.col("gx") / dim).cast("long").alias("tx"),
+        (F.col("gy") / dim).cast("long").alias("ty"),
+        (F.col("gx") % dim).alias("px"), (F.col("gy") % dim).alias("py"),
+        "n_pt")
+
+    def render(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        z, tx, ty = int(key[0]), int(key[1]), int(key[2])
+        counts = np.zeros((dim, dim), dtype=np.int64)
+        counts[pdf["py"].to_numpy(), pdf["px"].to_numpy()] = \
+            pdf["n_pt"].to_numpy()
+        max_n = int(pdf["n_pt"].max())
+        png = imaging.encode_png(heatmap_raster(counts, max_n))
+        return pd.DataFrame(
+            {"z": [z], "tx": [tx], "ty": [ty],
+             "n_points": [int(pdf["n_pt"].sum())], "n_hot": [len(pdf)],
+             "max_n": [max_n], "png": [png]})
+
+    return pix.groupBy("z", "tx", "ty").applyInPandas(render, _HEATMAP_SCHEMA)

@@ -462,3 +462,33 @@ def test_tile_heatmaps_png_golden_and_plan(spark):
         .executedPlan().toString()
     assert "FlatMapGroupsInPandas" in plan
     assert plan.count("HashAggregate") >= 2  # partial + final pixel agg
+
+
+def test_tile_heatmap_pyramid_equals_direct_per_zoom(spark):
+    """Every pyramid level — including the PNG bytes — is identical to
+    running tile_heatmaps directly at that zoom: the global pixel grid
+    nests (clamped floor halves consistently), so rolling the base pixel
+    aggregate up by bit-shift loses nothing.  Coarser-than-base only."""
+    import pytest as _pytest
+
+    rng = np.random.default_rng(7)
+    pts = [(float(lo), float(la)) for lo, la in
+           zip(rng.uniform(8.0, 9.5, 400), rng.uniform(52.8, 53.4, 400))]
+    df = spark.createDataFrame(
+        [(i, lo, la) for i, (lo, la) in enumerate(pts)],
+        "poi_id long, lon double, lat double")
+    pyr = {(r.z, r.tx, r.ty): r
+           for r in tiles.tile_heatmap_pyramid(df, 12, (10, 8)).collect()}
+    assert len(pyr) > 0
+    for z in (12, 10, 8):
+        direct = {(z, r.tx, r.ty): r
+                  for r in tiles.tile_heatmaps(df, z=z).collect()}
+        level = {k: v for k, v in pyr.items() if k[0] == z}
+        assert set(level) == set(direct)
+        for k, r in level.items():
+            d = direct[k]
+            assert (r.n_points, r.n_hot, r.max_n) == \
+                (d.n_points, d.n_hot, d.max_n)
+            assert bytes(r.png) == bytes(d.png)
+    with _pytest.raises(ValueError):
+        tiles.tile_heatmap_pyramid(df, 12, (12,)).collect()
