@@ -439,6 +439,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q.awaitTermination()
         return spark.table(name)
 
+    def stream_heatmaps(spark, sf):
+        # streaming x image: the incremental heatmap renderer driven by 3
+        # file micro-batches — per-batch pixel partials + touched-tile
+        # re-render upserts must converge to the batch render; the twin
+        # is the same per-zoom metadata SQL as tile_heatmap_meta
+        import os
+        import tempfile
+
+        from openpoiservice_spark import streaming as STR
+
+        view = D.spark_poi_view(spark, sf).select("lon", "lat")
+        root = tempfile.mkdtemp(prefix="stream_hm_gate_")
+        raw = os.path.join(root, "raw")
+        view.repartition(3).write.mode("overwrite").parquet(raw)
+        src = (spark.readStream.schema(view.schema)
+               .option("maxFilesPerTrigger", "1").parquet(raw))
+        out = os.path.join(root, "hm")
+        q = (STR.stream_heatmap_sink(src, out, z=10)
+             .option("checkpointLocation", os.path.join(root, "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return spark.read.parquet(os.path.join(out, "tiles")).select(
+            F.col("z").cast("int").alias("z"),
+            F.col("tx").cast("long").alias("tx"),
+            F.col("ty").cast("long").alias("ty"),
+            "n_points", "n_hot", "max_n")
+
     def tile_top_cat(spark, sf):
         # dominant category per tile — argmax via min(struct(-n, cat)),
         # deterministic smallest-cat tie-break, no sort window
@@ -1150,6 +1177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round 6 (newest) -------------------------------------------
         "tile_heatmap_meta": tile_heatmap_meta,
         "tile_heatmap_pyramid": tile_heatmap_pyr,
+        "stream_heatmaps_z10": stream_heatmaps,
         "ann_pq_top10": ann_pq,
         "ann_ivfpq_top10": ann_ivfpq,
         "ann_ivfpq_table_top10": ann_ivfpq_table,
@@ -1196,7 +1224,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_by_content": split_by_content,
         # -- rounds 2-3 -------------------------------------------------
         "ann_brute_top10": ann_brute,
-        "ann_lsh_top10": ann_lsh,
         "ann_ivf_top10": ann_ivf,
         "image_phash_pairs": image_phash_pairs,
         "dedup_exact": dedup_exact,
@@ -1210,9 +1237,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": minhash_sigs,
         "lsh_candidate_pairs": lsh_pairs,
         "lsh_pairs_capped": lsh_pairs_capped,
-        # fixed-plane cosine pairing, subsumed by ann_pairs_auto (same
-        # pipeline, production auto-sized planes) — veteran tail
+        # fixed-plane LSH gates, subsumed by their *_auto twins (same
+        # pipelines, production auto-sized planes) — veteran tail
         "ann_pairs": ann_pairs,
+        "ann_lsh_top10": ann_lsh,
         # capped invariance twin of image_phash_pairs — retired to the
         # veteran tail (outside the driver's 50-row window) to make room
         # for ann_recall_ivfpq; 3 rounds of green driver rows behind it
@@ -1398,6 +1426,9 @@ def oracle_sql() -> dict[str, str]:
             f"{_POI} {_sql_heatmap_meta(12)} "
             f"UNION ALL {_sql_heatmap_meta(10)}"
         ),
+        # streaming convergence: the upserted tile store's metadata must
+        # equal the batch heatmap of everything ingested
+        "stream_heatmaps_z10": f"{_POI} {_sql_heatmap_meta(10)}",
         "tile_pyramid": (
             f"{_POI}, b AS (SELECT {tx14} AS tx, {ty14} AS ty, "
             "count(*) AS n FROM poi GROUP BY 1, 2) "

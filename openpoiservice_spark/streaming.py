@@ -454,3 +454,67 @@ def stream_prepare(spark: SparkSession, raw_dir: str, prepared_dir: str,
     )
     q.awaitTermination()
     return q
+
+
+def heatmap_batch(batch_df: DataFrame, batch_id: int, out_dir: str,
+                  z: int = 14, dim: int = 256,
+                  lon: str = "lon", lat: str = "lat") -> None:
+    """One micro-batch of the incremental heatmap renderer (the foreachBatch
+    body of `stream_heatmap_sink`, module-level so tests and recovery
+    semantics are exercisable on plain DataFrames):
+
+      1. bin THIS batch's points into hot-pixel partials (tiles
+         .pixel_counts — bounded by the batch's touched pixels) and write
+         them to a BATCH-KEYED directory of the pixel store with
+         mode=overwrite, so a replayed batch (foreachBatch re-delivers
+         after a failure) rewrites its own partials instead of
+         double-counting;
+      2. re-render ONLY the tiles this batch touched: read the store back
+         restricted to the touched tile set (broadcast semi-join over the
+         append-only partial files), sum partials per pixel, render via
+         tiles.render_pixel_counts;
+      3. upsert rendered rows into the tile store via dynamic partition
+         overwrite keyed (z, tx, ty) — untouched tiles are never
+         rewritten, and a replay rewrites the same partitions with the
+         same bytes (idempotent end to end).
+
+    Store layout under out_dir: `pixels/b<batch_id>/` partial parquet,
+    `tiles/z=/tx=/ty=/` rendered parquet (png + metadata per tile) — a
+    slippy server reads the tile path directly.  At planet scale swap the
+    parquet tile store for an object store / Delta MERGE keyed the same
+    way; the per-batch work stays bounded by touched tiles x dim^2."""
+    from . import tiles as TI
+
+    spark = batch_df.sparkSession
+    part = TI.pixel_counts(batch_df, z, dim, lon, lat).persist()
+    try:
+        part.write.mode("overwrite").parquet(f"{out_dir}/pixels/b{batch_id}")
+        touched = part.select("tx", "ty").distinct()
+        full = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(f"{out_dir}/pixels")
+            .join(F.broadcast(touched), ["tx", "ty"])
+            .groupBy("z", "tx", "ty", "px", "py")
+            .agg(F.sum("n_pt").alias("n_pt"))
+        )
+        (
+            TI.render_pixel_counts(full, dim)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("z", "tx", "ty").parquet(f"{out_dir}/tiles")
+        )
+    finally:
+        part.unpersist()
+
+
+def stream_heatmap_sink(points: DataFrame, out_dir: str, z: int = 14,
+                        dim: int = 256, lon: str = "lon", lat: str = "lat"):
+    """Live-map raster serving over an unbounded point stream: each
+    micro-batch appends its pixel partials and re-renders exactly the
+    tiles it touched (`heatmap_batch`).  Returns a DataStreamWriter —
+    caller sets checkpointLocation / trigger and .start().  Converges to
+    the batch `tile_heatmaps` of everything ingested (gate
+    stream_heatmaps_z10 replays file micro-batches and compares against
+    the batch twin)."""
+    return points.writeStream.foreachBatch(
+        lambda df, bid: heatmap_batch(df, bid, out_dir, z, dim, lon, lat))

@@ -418,22 +418,43 @@ def tile_heatmaps(df: DataFrame, z: int = 14, dim: int = 256,
     ``.write.partitionBy("z").parquet(...)`` or foreachPartition into an
     object store keyed z/tx/ty for direct tile serving.
     """
-    n = 1 << z
-    scale = float(n * dim)
+    return render_pixel_counts(pixel_counts(df, z, dim, lon, lat), dim)
+
+
+def _global_pixel_cols(z: int, dim: int, lon: str, lat: str):
+    """Clamped global pixel coords (gx, gy) at zoom z, dim px per tile."""
+    scale = float((1 << z) * dim)
     xn, yn = _mercator_cols(F.col(lon), F.col(lat))
     gx = F.least(F.lit(int(scale) - 1), F.greatest(
         F.lit(0), F.floor(xn * scale).cast("long")))
     gy = F.least(F.lit(int(scale) - 1), F.greatest(
         F.lit(0), F.floor(yn * scale).cast("long")))
-    pix = (
+    return gx, gy
+
+
+def pixel_counts(df: DataFrame, z: int, dim: int = 256,
+                 lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """Hot-pixel counts (z, tx, ty, px, py, n_pt) — native binning + a
+    map-side-combining groupBy; works on batch AND streaming frames (the
+    streaming sink's per-batch partials use exactly this expression)."""
+    gx, gy = _global_pixel_cols(z, dim, lon, lat)
+    return (
         df.select((gx / dim).cast("long").alias("tx"),
                   (gy / dim).cast("long").alias("ty"),
                   (gx % dim).alias("px"), (gy % dim).alias("py"))
         .groupBy("tx", "ty", "px", "py").agg(F.count("*").alias("n_pt"))
+        .select(F.lit(int(z)).alias("z"), "tx", "ty", "px", "py", "n_pt")
     )
 
+
+def render_pixel_counts(pix: DataFrame, dim: int = 256) -> DataFrame:
+    """(z, tx, ty, px, py, n_pt) hot pixels -> rendered heatmap rows
+    (z, tx, ty, n_points, n_hot, max_n, png) — the ONE python stage,
+    shared by tile_heatmaps / tile_heatmap_pyramid / the streaming
+    sink's touched-tile re-render."""
+
     def render(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        tx, ty = int(key[0]), int(key[1])
+        z, tx, ty = int(key[0]), int(key[1]), int(key[2])
         counts = np.zeros((dim, dim), dtype=np.int64)
         counts[pdf["py"].to_numpy(), pdf["px"].to_numpy()] = \
             pdf["n_pt"].to_numpy()
@@ -444,7 +465,7 @@ def tile_heatmaps(df: DataFrame, z: int = 14, dim: int = 256,
              "n_points": [int(pdf["n_pt"].sum())], "n_hot": [len(pdf)],
              "max_n": [max_n], "png": [png]})
 
-    return pix.groupBy("tx", "ty").applyInPandas(render, _HEATMAP_SCHEMA)
+    return pix.groupBy("z", "tx", "ty").applyInPandas(render, _HEATMAP_SCHEMA)
 
 
 def tile_heatmap_pyramid(df: DataFrame, z_base: int = 14,
@@ -465,13 +486,7 @@ def tile_heatmap_pyramid(df: DataFrame, z_base: int = 14,
     shared across all levels.  The base pixel aggregate is
     localCheckpointed so the union's branches read blocks, not re-scans.
     """
-    n0 = 1 << z_base
-    scale = float(n0 * dim)
-    xn, yn = _mercator_cols(F.col(lon), F.col(lat))
-    gx = F.least(F.lit(int(scale) - 1), F.greatest(
-        F.lit(0), F.floor(xn * scale).cast("long")))
-    gy = F.least(F.lit(int(scale) - 1), F.greatest(
-        F.lit(0), F.floor(yn * scale).cast("long")))
+    gx, gy = _global_pixel_cols(z_base, dim, lon, lat)
     base = (
         df.select(gx.alias("gx"), gy.alias("gy"))
         .groupBy("gx", "gy").agg(F.count("*").alias("n_pt"))
@@ -493,17 +508,4 @@ def tile_heatmap_pyramid(df: DataFrame, z_base: int = 14,
         (F.col("gy") / dim).cast("long").alias("ty"),
         (F.col("gx") % dim).alias("px"), (F.col("gy") % dim).alias("py"),
         "n_pt")
-
-    def render(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        z, tx, ty = int(key[0]), int(key[1]), int(key[2])
-        counts = np.zeros((dim, dim), dtype=np.int64)
-        counts[pdf["py"].to_numpy(), pdf["px"].to_numpy()] = \
-            pdf["n_pt"].to_numpy()
-        max_n = int(pdf["n_pt"].max())
-        png = imaging.encode_png(heatmap_raster(counts, max_n))
-        return pd.DataFrame(
-            {"z": [z], "tx": [tx], "ty": [ty],
-             "n_points": [int(pdf["n_pt"].sum())], "n_hot": [len(pdf)],
-             "max_n": [max_n], "png": [png]})
-
-    return pix.groupBy("z", "tx", "ty").applyInPandas(render, _HEATMAP_SCHEMA)
+    return render_pixel_counts(pix, dim)

@@ -617,3 +617,58 @@ def test_stream_tile_counts_incremental(spark, tmp_path):
             .groupBy("tx", "ty").agg(F.count("*").alias("n")).collect()}
     assert got == want
     assert sum(got.values()) == 300
+
+
+def test_heatmap_batch_converges_and_replays_idempotently(spark, tmp_path):
+    """Incremental heatmap sink: after each micro-batch every rendered
+    tile is byte-identical to the BATCH tile_heatmaps of everything
+    ingested so far (restricted to tiles that exist yet); a replayed
+    batch (same batch_id — the foreachBatch recovery contract) leaves the
+    store bit-for-bit unchanged; after the last batch the store equals
+    the full batch render, PNG bytes included."""
+    import numpy as np
+
+    from openpoiservice_spark import streaming as STR
+    from openpoiservice_spark import tiles as TI
+
+    rng = np.random.default_rng(5)
+    pts = [(int(i), float(lo), float(la)) for i, (lo, la) in enumerate(
+        zip(rng.uniform(8.0, 9.0, 300), rng.uniform(52.9, 53.3, 300)))]
+    df = spark.createDataFrame(pts, "poi_id long, lon double, lat double")
+    out = str(tmp_path / "hm")
+    z = 10
+
+    def store():
+        return {(r.z, r.tx, r.ty): (r.n_points, r.n_hot, r.max_n,
+                                    bytes(r.png))
+                for r in spark.read.parquet(f"{out}/tiles").select(
+                    F.col("z").cast("int").alias("z"),
+                    F.col("tx").cast("long").alias("tx"),
+                    F.col("ty").cast("long").alias("ty"),
+                    "n_points", "n_hot", "max_n", "png").collect()}
+
+    seen = None
+    for b in range(3):
+        batch = df.filter(F.col("poi_id") % 3 == b)
+        STR.heatmap_batch(batch, b, out, z=z)
+        got = store()
+        ref = {(r.z, r.tx, r.ty): (r.n_points, r.n_hot, r.max_n,
+                                   bytes(r.png))
+               for r in TI.tile_heatmaps(
+                   df.filter(F.col("poi_id") % 3 <= b), z=z).collect()}
+        # every tile present so far matches the batch render of the
+        # accumulated input; tiles only ever appear, never disappear
+        assert set(got) <= set(ref)
+        for k, v in got.items():
+            assert v == ref[k]
+        if seen is not None:
+            assert seen <= set(got)
+        seen = set(got)
+        if b == 1:  # recovery: redeliver the same batch id
+            STR.heatmap_batch(batch, b, out, z=z)
+            assert store() == got
+    # final state IS the full batch render
+    final_ref = {(r.z, r.tx, r.ty): (r.n_points, r.n_hot, r.max_n,
+                                     bytes(r.png))
+                 for r in TI.tile_heatmaps(df, z=z).collect()}
+    assert store() == final_ref
