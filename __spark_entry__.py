@@ -795,6 +795,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ANN.write_ivfpq_table(_emb(spark, sf), path, _CENTROIDS, _PQ_CB)
         return path
 
+    def ann_ivfpq_append(spark, sf):
+        # compressed-layout MAINTENANCE under the oracle: build the table
+        # from half the vectors, append_ivfpq_table the rest (cells AND
+        # codes from the persisted sidecars, commit-locked, idempotent),
+        # then search — the grown table must answer exactly like the
+        # full-table twin, so the oracle is the same full-algorithm SQL
+        # as ann_ivfpq_table_top10
+        import tempfile
+
+        emb = _emb(spark, sf)
+        path = tempfile.mkdtemp(prefix="ivfpq_append_gate_") + "/t"
+        ANN.write_ivfpq_table(emb.filter(F.col("vec_id") % 2 == 0), path,
+                              _CENTROIDS, _PQ_CB)
+        ANN.append_ivfpq_table(spark, path,
+                               emb.filter(F.col("vec_id") % 2 == 1))
+        return ANN.ivfpq_topk_table(spark, path, _QVEC, 10,
+                                    nprobe=2, shortlist=4)
+
     def ann_ivfpq_table(spark, sf):
         # two-phase FAISS-style read over the written layout: codes-only
         # ADC shortlist (bounded id collect) -> exact re-rank with vec_id
@@ -1178,6 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_heatmap_meta": tile_heatmap_meta,
         "tile_heatmap_pyramid": tile_heatmap_pyr,
         "stream_heatmaps_z10": stream_heatmaps,
+        "ann_ivfpq_append_top10": ann_ivfpq_append,
         "ann_pq_top10": ann_pq,
         "ann_ivfpq_top10": ann_ivfpq,
         "ann_ivfpq_table_top10": ann_ivfpq_table,
@@ -1226,7 +1245,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_top10": ann_brute,
         "ann_ivf_top10": ann_ivf,
         "image_phash_pairs": image_phash_pairs,
-        "dedup_exact": dedup_exact,
         # near_dup_jaccard moved INSIDE the window this round: its
         # intersection join changed (candidate-doc restriction) and a
         # changed operator deserves a driver row; minhash_signatures and
@@ -1241,6 +1259,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pipelines, production auto-sized planes) — veteran tail
         "ann_pairs": ann_pairs,
         "ann_lsh_top10": ann_lsh,
+        # exact-hash survivor rule exercised end-to-end inside
+        # dedup_increment (stage 1) and curate_keep — veteran tail
+        "dedup_exact": dedup_exact,
         # capped invariance twin of image_phash_pairs — retired to the
         # veteran tail (outside the driver's 50-row window) to make room
         # for ann_recall_ivfpq; 3 rounds of green driver rows behind it
@@ -1617,6 +1638,9 @@ def oracle_sql() -> dict[str, str]:
         # the written-layout two-phase read computes the same math as the
         # in-memory composition — shared twin by construction
         "ann_ivfpq_table_top10": _sql_ann_ivfpq(),
+        # append parity: post-append table == full write (bitwise, pytest),
+        # so the search twin is the identical full-algorithm SQL
+        "ann_ivfpq_append_top10": _sql_ann_ivfpq(),
         "ann_batch_ivfpq_top10": _sql_ann_batch_ivfpq(),
         "ann_batch_top10": _sql_ann_batch(),
         "ann_batch_brute_top10": _sql_ann_batch_brute(),

@@ -1036,6 +1036,48 @@ def write_ivfpq_table(emb: DataFrame, path: str,
     write_pq_codebooks(emb.sparkSession, path, codebooks)
 
 
+def append_ivfpq_table(spark, path: str, new_emb: DataFrame,
+                       dedup: bool = True, timeout_s: float = 120.0) -> int:
+    """Maintenance append for the compressed layout — the daily embedding
+    increment, mirroring `append_ivf_table`: cell assignment AND PQ codes
+    come from the table's PERSISTED sidecars (new rows encoded with fresh
+    codebooks would ADC-rank on a different scale than resident rows and
+    probes would miss their cells), the read-check-append runs under the
+    table commit lock, and `dedup` anti-joins resident vec_ids (one
+    pruned column) so replays are idempotent.  The append touches only
+    the cell directories the new vectors land in.  Returns rows appended.
+
+    After a large append, `ivf_table_stats` shows occupancy drift and
+    `batch_recall` (gate ann_recall_ivfpq's composition) answers whether
+    the stale codebooks still search well — retrain + `write_ivfpq_table`
+    when they don't."""
+    from ..prepare import commit_lock
+
+    cb = read_codebook(spark, path)
+    pq = read_pq_codebooks(spark, path)
+    if cb is None or pq is None:
+        raise ValueError(f"{path} is missing a codebook sidecar; "
+                         "write_ivfpq_table it first")
+    with commit_lock(spark, path, timeout_s=timeout_s):
+        add = new_emb
+        if dedup:
+            resident = spark.read.parquet(path).select("vec_id")
+            add = add.join(resident, "vec_id", "left_anti")
+        assigned = (
+            add.withColumn("ivf_cell",
+                           ivf_assign_col(F.col("embedding"), cb))
+            .withColumn("codes", pq_code_col(F.col("embedding"), pq))
+        ).persist()
+        try:
+            n = assigned.count()  # materialize ONCE: count + write share it
+            if n:
+                assigned.write.mode("append") \
+                    .partitionBy("ivf_cell").parquet(path)
+        finally:
+            assigned.unpersist()
+        return n
+
+
 def ivfpq_topk_table(spark, path: str, qvec, k: int = 10,
                      centroids: np.ndarray | None = None,
                      codebooks: np.ndarray | None = None,

@@ -260,3 +260,40 @@ def test_batch_recall_bounds_and_misses(emb, queries):
     assert got[gone].n_hit == 0 and got[gone].recall == 0.0
     assert 0 < got[cut].n_hit < 5
     assert got[cut].recall == round(got[cut].n_hit / 5, 6)
+
+
+def test_append_ivfpq_table_parity_and_idempotence(spark, emb, tmp_path):
+    """Compressed-layout maintenance: appends encode with the table's
+    PERSISTED sidecars (cells AND codes), replays append nothing, the
+    grown table is row-for-row identical to a from-scratch write of the
+    union (same cells, same codes), and searches see appended vectors."""
+    path = str(tmp_path / "ivfpq_m")
+    old_rows = emb.filter(F.col("vec_id") < 400)
+    new_rows = emb.filter(F.col("vec_id") >= 400)
+    ANN.write_ivfpq_table(old_rows, path)
+
+    n = ANN.append_ivfpq_table(spark, path, new_rows)
+    assert n == new_rows.count()
+    assert ANN.append_ivfpq_table(spark, path, new_rows) == 0  # replay
+
+    rebuilt = str(tmp_path / "ivfpq_full")
+    ANN.write_ivfpq_table(emb, rebuilt)
+    key = lambda r: (r.vec_id, r.ivf_cell, tuple(r.codes))  # noqa: E731
+    got = sorted(key(r) for r in spark.read.parquet(path)
+                 .select("vec_id", "ivf_cell", "codes").collect())
+    ref = sorted(key(r) for r in spark.read.parquet(rebuilt)
+                 .select("vec_id", "ivf_cell", "codes").collect())
+    assert got == ref
+
+    q = ANN.query_vector()
+    a = ANN.ivfpq_topk_table(spark, path, q, 10,
+                             nprobe=len(ANN.ivf_centroids()), shortlist=100)
+    brute = ANN.brute_topk(emb, q, 10)
+    assert [tuple(r) for r in a.collect()] == \
+        [tuple(r) for r in brute.collect()]
+
+    missing = str(tmp_path / "ivfpq_nosidecar")
+    emb.limit(10).withColumn("ivf_cell", F.lit(0)) \
+        .write.partitionBy("ivf_cell").parquet(missing)
+    with pytest.raises(ValueError, match="sidecar"):
+        ANN.append_ivfpq_table(spark, missing, emb.limit(5))
