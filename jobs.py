@@ -144,6 +144,29 @@ def main(argv=None):
     sia.add_argument("--no-dedup", action="store_true",
                      help="skip the resident vec_id anti-join")
 
+    sipa = sub.add_parser("ivfpq-append",
+                          help="append new vectors into an IVF+PQ layout "
+                               "(persisted sidecars encode cells AND codes, "
+                               "commit-locked, idempotent)")
+    sipa.add_argument("--emb", required=True, help="new vectors parquet path")
+    sipa.add_argument("--table", required=True,
+                      help="existing ivfpq-build output")
+    sipa.add_argument("--no-dedup", action="store_true")
+
+    shm = sub.add_parser("stream-heatmaps",
+                         help="incremental live-map PNG renderer over a "
+                              "file-arrival point stream")
+    shm.add_argument("--points-dir", required=True,
+                     help="directory parquet files with lon/lat arrive in")
+    shm.add_argument("--out", required=True, help="heatmap store root")
+    shm.add_argument("--checkpoint", required=True)
+    shm.add_argument("--zoom", type=int, default=14)
+    shm.add_argument("--continuous", action="store_true",
+                     help="keep running (default drains availableNow)")
+    shm.add_argument("--compact", action="store_true",
+                     help="fold the pixel-partial store into one dir "
+                          "after the drain (crash-safe manifest protocol)")
+
     sd = sub.add_parser("image-dedup", help="perceptual-hash image near-dup pairs")
     sd.add_argument("--images", required=True, help="poi_images parquet path")
     sd.add_argument("--out", default=None)
@@ -401,6 +424,32 @@ def main(argv=None):
             spark, args.table, spark.read.parquet(args.emb),
             dedup=not args.no_dedup)
         print(json.dumps({"appended": appended, "table": args.table}))
+    elif args.cmd == "ivfpq-append":
+        from openpoiservice_spark.operators import ann as ANN
+
+        appended = ANN.append_ivfpq_table(
+            spark, args.table, spark.read.parquet(args.emb),
+            dedup=not args.no_dedup)
+        print(json.dumps({"appended": appended, "table": args.table}))
+    elif args.cmd == "stream-heatmaps":
+        from openpoiservice_spark import streaming as STR
+
+        schema = "lon double, lat double"
+        src = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", "4")
+               .parquet(args.points_dir).select("lon", "lat"))
+        w = (STR.stream_heatmap_sink(src, args.out, z=args.zoom)
+             .option("checkpointLocation", args.checkpoint))
+        if args.continuous:
+            w.start().awaitTermination()
+        else:
+            q = w.trigger(availableNow=True).start()
+            q.awaitTermination()
+            res = {"tiles": spark.read.parquet(f"{args.out}/tiles").count(),
+                   "out": args.out}
+            if args.compact:
+                res["compact"] = STR.compact_heatmap_pixels(spark, args.out)
+            print(json.dumps(res))
     elif args.cmd == "ann-batch":
         import numpy as np
 

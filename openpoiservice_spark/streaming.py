@@ -518,3 +518,93 @@ def stream_heatmap_sink(points: DataFrame, out_dir: str, z: int = 14,
     the batch twin)."""
     return points.writeStream.foreachBatch(
         lambda df, bid: heatmap_batch(df, bid, out_dir, z, dim, lon, lat))
+
+
+def compact_heatmap_pixels(spark, out_dir: str,
+                           timeout_s: float = 120.0) -> dict:
+    """Bound the heatmap pixel store: fold every per-batch partial
+    directory into ONE consolidated directory.  Run between drains (an
+    availableNow pipeline's natural gaps) — never concurrently with an
+    active stream writing the same store; the commit lock serializes
+    concurrent compactors and the protocol survives a crash at any step:
+
+      1. aggregate all visible partials and write them to `_compact_tmp`
+         (underscore-prefixed: INVISIBLE to Spark's listing, so readers
+         of the store never see partials and their consolidation at
+         once), plus an `_inputs.json` manifest naming the exact input
+         directories the tmp content covers;
+      2. delete the manifest's input directories;
+      3. publish: rename `_compact_tmp` -> `b<hex>c` (visible).
+
+    Crash between 1 and 3 leaves `_compact_tmp` + the manifest behind;
+    the next call recovers first — it deletes whichever manifest inputs
+    still exist and publishes the tmp — so the store never double-counts
+    (tmp and its inputs are never both visible) and never loses partials
+    (inputs are deleted only after their aggregate is durably written).
+    Returns {"dirs_before", "dirs_after", "rows", "compacted"}."""
+    import json
+    import uuid
+
+    from .prepare import _hadoop_fs, commit_lock
+
+    px_root = f"{out_dir}/pixels"
+    jvm_path = lambda s: _hadoop_fs(spark, s)  # noqa: E731
+
+    def _list_inputs(fs, root):
+        return sorted(
+            st.getPath().getName() for st in fs.listStatus(root)
+            if st.isDirectory() and not st.getPath().getName().startswith(
+                ("_", ".")))
+
+    def _publish(fs, tmp):
+        name = f"b{uuid.uuid4().hex[:12]}c"
+        if not fs.rename(tmp, jvm_path(f"{px_root}/{name}")[1]):
+            raise IOError(f"could not publish {px_root}/{name}")
+
+    with commit_lock(spark, px_root, timeout_s=timeout_s):
+        fs, root = jvm_path(px_root)
+        tmp = jvm_path(f"{px_root}/_compact_tmp")[1]
+        manifest = jvm_path(f"{px_root}/_compact_tmp/_inputs.json")[1]
+        if fs.exists(tmp):
+            # recovery: a previous compaction crashed mid-protocol
+            if fs.exists(manifest):
+                stream = fs.open(manifest)
+                try:
+                    data = []
+                    while True:
+                        b = stream.read()
+                        if b < 0:
+                            break
+                        data.append(b)
+                finally:
+                    stream.close()
+                for d in json.loads(bytes(data).decode("ascii")):
+                    fs.delete(jvm_path(f"{px_root}/{d}")[1], True)
+                _publish(fs, tmp)
+            else:
+                # crashed before the manifest: tmp content is untrusted
+                # (inputs untouched, all data still in them) — discard
+                fs.delete(tmp, True)
+
+        inputs = _list_inputs(fs, root)
+        before = len(inputs)
+        if before <= 1:
+            return {"dirs_before": before, "dirs_after": before,
+                    "rows": None, "compacted": False}
+        agg = (
+            spark.read.option("recursiveFileLookup", "true").parquet(px_root)
+            .groupBy("z", "tx", "ty", "px", "py")
+            .agg(F.sum("n_pt").alias("n_pt"))
+        )
+        agg.write.mode("overwrite").parquet(f"{px_root}/_compact_tmp")
+        rows = spark.read.parquet(f"{px_root}/_compact_tmp").count()
+        out = fs.create(manifest, True)
+        try:
+            out.write(bytearray(json.dumps(inputs).encode("ascii")))
+        finally:
+            out.close()
+        for d in inputs:
+            fs.delete(jvm_path(f"{px_root}/{d}")[1], True)
+        _publish(fs, tmp)
+        return {"dirs_before": before, "dirs_after": 1, "rows": rows,
+                "compacted": True}

@@ -672,3 +672,95 @@ def test_heatmap_batch_converges_and_replays_idempotently(spark, tmp_path):
                                      bytes(r.png))
                  for r in TI.tile_heatmaps(df, z=z).collect()}
     assert store() == final_ref
+
+
+def test_compact_heatmap_pixels_bounds_store_and_recovers(spark, tmp_path):
+    """Pixel-store maintenance: compaction folds all per-batch partial
+    dirs into one without changing the aggregate; an interrupted
+    compaction recovers on the next call from BOTH crash windows (before
+    the manifest: tmp discarded, inputs intact; after the manifest /
+    mid-deletes: remaining inputs deleted, tmp published) — never
+    double-counting, never losing partials.  The stream keeps working on
+    the compacted store."""
+    import json
+    import os
+    import shutil
+
+    import numpy as np
+
+    from openpoiservice_spark import streaming as STR
+    from openpoiservice_spark import tiles as TI
+
+    rng = np.random.default_rng(9)
+    pts = [(int(i), float(lo), float(la)) for i, (lo, la) in enumerate(
+        zip(rng.uniform(8.0, 9.0, 240), rng.uniform(52.9, 53.2, 240)))]
+    df = spark.createDataFrame(pts, "poi_id long, lon double, lat double")
+    out = str(tmp_path / "hm")
+    z = 10
+
+    def agg_state():
+        return {(r.z, r.tx, r.ty, r.px, r.py): r.n
+                for r in spark.read.option("recursiveFileLookup", "true")
+                .parquet(f"{out}/pixels")
+                .groupBy("z", "tx", "ty", "px", "py")
+                .agg(F.sum("n_pt").alias("n")).collect()}
+
+    def dirs():
+        return sorted(d for d in os.listdir(f"{out}/pixels")
+                      if not d.startswith(("_", ".")))
+
+    for b in range(3):
+        STR.heatmap_batch(df.filter(F.col("poi_id") % 4 == b), b, out, z=z)
+    expect = agg_state()
+    assert len(dirs()) == 3
+
+    stats = STR.compact_heatmap_pixels(spark, out)
+    assert stats["compacted"] and stats["dirs_before"] == 3 \
+        and stats["dirs_after"] == 1
+    assert len(dirs()) == 1 and agg_state() == expect
+
+    # crash window A: tmp exists but no manifest (died before/mid tmp
+    # write) -> discarded, inputs untouched
+    STR.heatmap_batch(df.filter(F.col("poi_id") % 4 == 3), 3, out, z=z)
+    expect = agg_state()
+    os.makedirs(f"{out}/pixels/_compact_tmp")
+    with open(f"{out}/pixels/_compact_tmp/garbage.parquet", "wb") as f:
+        f.write(b"not parquet")
+    stats = STR.compact_heatmap_pixels(spark, out)
+    assert stats["compacted"] and agg_state() == expect
+    assert len(dirs()) == 1
+
+    # crash window B: tmp + manifest written, SOME inputs already deleted
+    # (died mid-step-2) -> recovery deletes the rest and publishes
+    STR.heatmap_batch(df.filter(F.col("poi_id") % 4 == 0), 4, out, z=z)
+    expect = agg_state()
+    inputs = dirs()
+    assert len(inputs) == 2
+    (spark.read.option("recursiveFileLookup", "true")
+     .parquet(f"{out}/pixels")
+     .groupBy("z", "tx", "ty", "px", "py").agg(F.sum("n_pt").alias("n_pt"))
+     .write.mode("overwrite").parquet(f"{out}/pixels/_compact_tmp"))
+    with open(f"{out}/pixels/_compact_tmp/_inputs.json", "w") as f:
+        json.dump(inputs, f)
+    shutil.rmtree(f"{out}/pixels/{inputs[0]}")   # the simulated crash
+    stats = STR.compact_heatmap_pixels(spark, out)
+    assert agg_state() == expect
+    assert len(dirs()) == 1
+
+    # the sink keeps converging on the compacted store.  NOTE: batches 4
+    # and 5 re-delivered the %4==0 / %4==1 subsets under NEW batch ids —
+    # from the sink's contract that is genuinely new data (idempotence is
+    # per batch_id), so the reference is the batch render of everything
+    # ingested including those double-counts.
+    STR.heatmap_batch(df.filter(F.col("poi_id") % 4 == 1), 5, out, z=z)
+    ingested = df.unionByName(df.filter(F.col("poi_id") % 4 == 0)) \
+        .unionByName(df.filter(F.col("poi_id") % 4 == 1))
+    final = {(r.z, r.tx, r.ty): bytes(r.png)
+             for r in spark.read.parquet(f"{out}/tiles").select(
+                 F.col("z").cast("int").alias("z"),
+                 F.col("tx").cast("long").alias("tx"),
+                 F.col("ty").cast("long").alias("ty"), "png").collect()}
+    ref = {(r.z, r.tx, r.ty): bytes(r.png)
+           for r in TI.tile_heatmaps(ingested, z=z).collect()}
+    for k, png in final.items():
+        assert png == ref[k]
