@@ -482,29 +482,38 @@ def heatmap_batch(batch_df: DataFrame, batch_id: int, out_dir: str,
     `tiles/z=/tx=/ty=/` rendered parquet (png + metadata per tile) — a
     slippy server reads the tile path directly.  At planet scale swap the
     parquet tile store for an object store / Delta MERGE keyed the same
-    way; the per-batch work stays bounded by touched tiles x dim^2."""
+    way; the per-batch work stays bounded by touched tiles x dim^2.
+
+    The whole read-render-upsert cycle runs under the pixel store's
+    commit lock (prepare.commit_lock — the same per-micro-batch fencing
+    stream_prepare uses), so a `compact_heatmap_pixels` run can never
+    delete partial dirs out from under an in-flight render, and two
+    writers on one store serialize instead of interleaving."""
     from . import tiles as TI
+    from .prepare import commit_lock
 
     spark = batch_df.sparkSession
-    part = TI.pixel_counts(batch_df, z, dim, lon, lat).persist()
-    try:
-        part.write.mode("overwrite").parquet(f"{out_dir}/pixels/b{batch_id}")
-        touched = part.select("tx", "ty").distinct()
-        full = (
-            spark.read.option("recursiveFileLookup", "true")
-            .parquet(f"{out_dir}/pixels")
-            .join(F.broadcast(touched), ["tx", "ty"])
-            .groupBy("z", "tx", "ty", "px", "py")
-            .agg(F.sum("n_pt").alias("n_pt"))
-        )
-        (
-            TI.render_pixel_counts(full, dim)
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("z", "tx", "ty").parquet(f"{out_dir}/tiles")
-        )
-    finally:
-        part.unpersist()
+    with commit_lock(spark, f"{out_dir}/pixels"):
+        part = TI.pixel_counts(batch_df, z, dim, lon, lat).persist()
+        try:
+            part.write.mode("overwrite") \
+                .parquet(f"{out_dir}/pixels/b{batch_id}")
+            touched = part.select("tx", "ty").distinct()
+            full = (
+                spark.read.option("recursiveFileLookup", "true")
+                .parquet(f"{out_dir}/pixels")
+                .join(F.broadcast(touched), ["tx", "ty"])
+                .groupBy("z", "tx", "ty", "px", "py")
+                .agg(F.sum("n_pt").alias("n_pt"))
+            )
+            (
+                TI.render_pixel_counts(full, dim)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("z", "tx", "ty").parquet(f"{out_dir}/tiles")
+            )
+        finally:
+            part.unpersist()
 
 
 def stream_heatmap_sink(points: DataFrame, out_dir: str, z: int = 14,
