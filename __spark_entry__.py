@@ -1652,8 +1652,10 @@ def oracle_sql() -> dict[str, str]:
         "docs_cap_source": _sql_cap_source(10),
         "docs_sample_mix": _sql_sample_mix(),
         "curate_repetition": _sql_curate(max_dup_word_frac=0.5),
-        # docs_pack_bins: greedy first-fit packing is not SQL-expressible —
-        # rows-only driver check; invariants owned by tests/test_curation.py
+        # round-6 session 4: first-fit-decreasing turned out to BE
+        # SQL-expressible (integer-exact recursive CTE carrying the
+        # bin-fill list) — upgraded from the rows-only check
+        "docs_pack_bins": _sql_pack_bins(),
     }
     # the update-mode streaming gate's upsert-applied final state must equal
     # the BATCH sessionization — same twin by construction
@@ -1893,6 +1895,53 @@ def _sql_sample_mix() -> str:
         f"SELECT doc_id, source, {h} % 1000000 AS k FROM documents) "
         "WHERE k < (CASE WHEN source = 'src0' THEN 0.5 "
         "WHEN source = 'src1' THEN 0.1 ELSE 0.3 END) * 1000000.0"
+    )
+
+
+def _sql_pack_bins(budget: int = 256, buckets: int = 64) -> str:
+    """Twin of curation.pack_sequences — first-fit-decreasing IS
+    SQL-expressible after all (upgrading the one-time rows-only check):
+    the greedy loop is integer-exact and per-bucket sequential, so a
+    recursive CTE walks each bucket's (n_tokens desc, doc_id) order
+    carrying the bin-fill list as DuckDB list state — `list_position(
+    list_transform(fills, f -> f + tok <= budget), true)` is the
+    first-fit probe, an indexed-lambda `list_transform` is the in-place
+    fill update, and every bucket advances in the same recursion (the
+    recursive term joins rank i+1 of all buckets at step i).  No floats
+    anywhere, so the hash compare is exact by construction.  Oversize
+    docs (tok > budget) open a dedicated bin exactly like the engine's
+    own_bin branch; bin_fill reports the bin's FINAL total."""
+    h = D.sql_h32("CAST(doc_id AS VARCHAR)")
+    # nullif: DuckDB's list_position returns 0 (not NULL) on no match
+    fit = (f"CASE WHEN r.n_tokens <= {budget} THEN "
+           f"nullif(list_position(list_transform(s.fills, "
+           f"f -> f + r.n_tokens <= {budget}), true), 0) ELSE NULL END")
+    return (
+        "WITH RECURSIVE ranked AS ("
+        "SELECT doc_id, n_tokens, bucket, "
+        "row_number() OVER (PARTITION BY bucket "
+        "ORDER BY n_tokens DESC, doc_id) AS rn, "
+        "count(*) OVER (PARTITION BY bucket) AS cnt FROM ("
+        r"SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)"
+        f" AS n_tokens, {h} % {buckets} AS bucket FROM documents)), "
+        "state AS ("
+        "SELECT bucket, CAST(0 AS BIGINT) AS i, "
+        "CAST([] AS BIGINT[]) AS fills, CAST([] AS BIGINT[]) AS assigns, "
+        "cnt FROM (SELECT DISTINCT bucket, cnt FROM ranked) "
+        "UNION ALL "
+        "SELECT s.bucket, s.i + 1, "
+        f"CASE WHEN ({fit}) IS NULL THEN list_append(s.fills, r.n_tokens) "
+        f"ELSE list_transform(s.fills, (f, ix) -> CASE WHEN ix = ({fit}) "
+        "THEN f + r.n_tokens ELSE f END) END, "
+        f"list_append(s.assigns, CAST(coalesce(({fit}), "
+        "len(s.fills) + 1) AS BIGINT)), s.cnt "
+        "FROM state s JOIN ranked r ON r.bucket = s.bucket "
+        "AND r.rn = s.i + 1 WHERE s.i < s.cnt), "
+        "final AS (SELECT bucket, fills, assigns FROM state WHERE i = cnt) "
+        "SELECT r.doc_id, r.n_tokens, "
+        f"f.bucket * {1 << 32} + (f.assigns[CAST(r.rn AS INT)] - 1) AS bin_id, "
+        "f.fills[CAST(f.assigns[CAST(r.rn AS INT)] AS INT)] AS bin_fill "
+        "FROM ranked r JOIN final f ON f.bucket = r.bucket"
     )
 
 
