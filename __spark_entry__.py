@@ -466,6 +466,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("ty").cast("long").alias("ty"),
             "n_points", "n_hot", "max_n")
 
+    def tile_index14(spark, sf):
+        # tile-serving interop: distinct visited tiles with Bing quadkey
+        # addressing + inverse-mercator degree bounds, all native bit/math
+        # expressions (the twin spells the identical >>/&/atan-sinh forms)
+        view = D.spark_poi_view(spark, sf)
+        return TI.tile_index(view, 14)
+
     def tile_top_cat(spark, sf):
         # dominant category per tile — argmax via min(struct(-n, cat)),
         # deterministic smallest-cat tie-break, no sort window
@@ -1197,6 +1204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_heatmap_pyramid": tile_heatmap_pyr,
         "stream_heatmaps_z10": stream_heatmaps,
         "ann_ivfpq_append_top10": ann_ivfpq_append,
+        "tile_index_z14": tile_index14,
         "ann_pq_top10": ann_pq,
         "ann_ivfpq_top10": ann_ivfpq,
         "ann_ivfpq_table_top10": ann_ivfpq_table,
@@ -1243,7 +1251,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_by_content": split_by_content,
         # -- rounds 2-3 -------------------------------------------------
         "ann_brute_top10": ann_brute,
-        "ann_ivf_top10": ann_ivf,
         "image_phash_pairs": image_phash_pairs,
         # near_dup_jaccard moved INSIDE the window this round: its
         # intersection join changed (candidate-doc restriction) and a
@@ -1259,6 +1266,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pipelines, production auto-sized planes) — veteran tail
         "ann_pairs": ann_pairs,
         "ann_lsh_top10": ann_lsh,
+        # fixed-literal-centroid IVF, subsumed by ann_ivf_trained_top10
+        # (the full train->write->probe path) and the IVF+PQ table gates
+        "ann_ivf_top10": ann_ivf,
         # exact-hash survivor rule exercised end-to-end inside
         # dedup_increment (stage 1) and curate_keep — veteran tail
         "dedup_exact": dedup_exact,
@@ -1432,6 +1442,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM poi GROUP BY 1"
         ),
         "tiles_z14": f"{_POI} SELECT poi_id, {tx14} AS tx, {ty14} AS ty FROM poi",
+        "tile_index_z14": _sql_tile_index(tx14, ty14),
         # pyramid twin mirrors the rollup-from-aggregate: coarser zooms
         # integer-divide the z14 histogram's tile ids (shiftright == // 2^s
         # for the non-negative clamped ids)
@@ -1895,6 +1906,29 @@ def _sql_sample_mix() -> str:
         f"SELECT doc_id, source, {h} % 1000000 AS k FROM documents) "
         "WHERE k < (CASE WHEN source = 'src0' THEN 0.5 "
         "WHEN source = 'src1' THEN 0.1 ELSE 0.3 END) * 1000000.0"
+    )
+
+
+def _sql_tile_index(tx14: str, ty14: str, z: int = 14) -> str:
+    """tile_index twin: Bing quadkey (bit-interleave MSB-first) + inverse
+    mercator degree bounds, spelled with the same >>/& and
+    atan((e^a - e^-a)/2) forms the engine compiles to."""
+    n = float(1 << z)
+    qk = "||".join(
+        f"CAST(((ty >> {i}) & 1) * 2 + ((tx >> {i}) & 1) AS VARCHAR)"
+        for i in range(z - 1, -1, -1))
+
+    def lat_sql(t_expr: str) -> str:
+        a = f"({math.pi!r} * (1.0 - 2.0 * {t_expr} / {n!r}))"
+        return f"round(degrees(atan((exp({a}) - exp(-{a})) / 2.0)), 6)"
+
+    return (
+        f"{_POI}, t AS (SELECT DISTINCT {tx14} AS tx, {ty14} AS ty FROM poi) "
+        f"SELECT {z} AS z, tx, ty, {qk} AS quadkey, "
+        f"round(tx / {n!r} * 360.0 - 180.0, 6) AS west, "
+        f"{lat_sql('(ty + 1)')} AS south, "
+        f"round((tx + 1) / {n!r} * 360.0 - 180.0, 6) AS east, "
+        f"{lat_sql('ty')} AS north FROM t"
     )
 
 

@@ -509,3 +509,61 @@ def tile_heatmap_pyramid(df: DataFrame, z_base: int = 14,
         (F.col("gx") % dim).alias("px"), (F.col("gy") % dim).alias("py"),
         "n_pt")
     return render_pixel_counts(pix, dim)
+
+
+def quadkey_col(tx, ty, z: int):
+    """Bing/Azure quadkey addressing of slippy tile (tx, ty) at zoom z —
+    the interop key for serving our tile stores to Microsoft-style map
+    stacks: digit i (MSB first) interleaves bit i of ty (high) and tx
+    (low).  Pure JVM bit math + concat, z literal at plan time; the
+    DuckDB twin spells the identical >>/& expression."""
+    digits = [
+        (((ty.bitwiseAND(F.lit(1 << i))) / (1 << i)).cast("int") * 2
+         + ((tx.bitwiseAND(F.lit(1 << i))) / (1 << i)).cast("int"))
+        .cast("string")
+        for i in range(z - 1, -1, -1)
+    ]
+    return F.concat(*digits)
+
+
+def tile_bounds_cols(tx, ty, z: int):
+    """(west, south, east, north) degrees of slippy tile (tx, ty) at zoom
+    z — the inverse mercator a tile server needs to stamp extents onto
+    rendered tiles (closed form: x/2^z*360-180; atan(sinh(pi*(1-2*y/2^z)))
+    with sinh spelled as (e^t - e^-t)/2 so the oracle runs the identical
+    expression)."""
+    n = float(1 << z)
+
+    def lon(t):
+        return t / F.lit(n) * 360.0 - 180.0
+
+    def lat(t):
+        arg = F.lit(math.pi) * (F.lit(1.0) - F.lit(2.0) * t / F.lit(n))
+        sinh = (F.exp(arg) - F.exp(-arg)) / F.lit(2.0)
+        return F.degrees(F.atan(sinh))
+
+    return (lon(tx.cast("double")), lat((ty + F.lit(1)).cast("double")),
+            lon((tx + F.lit(1)).cast("double")), lat(ty.cast("double")))
+
+
+def tile_index(df: DataFrame, z: int, lon: str = "lon",
+               lat: str = "lat") -> DataFrame:
+    """Distinct visited tiles with their interop addressing: (z, tx, ty,
+    quadkey, west, south, east, north) — the directory listing of every
+    tile sink in this module (histogram / pyramid / heatmaps), ready to
+    key an external store or hand to a Bing-style consumer.  One native
+    binning pass + a distinct on the (bounded) visited-tile set."""
+    from .derive import sql_mercator_tile
+
+    txe, tye = sql_mercator_tile(lon, lat, z)
+    tiles_df = (
+        df.select(F.expr(txe).alias("tx"), F.expr(tye).alias("ty"))
+        .distinct()
+    )
+    tx, ty = F.col("tx"), F.col("ty")
+    w, s, e, n = tile_bounds_cols(tx, ty, z)
+    return tiles_df.select(
+        F.lit(int(z)).alias("z"), "tx", "ty",
+        quadkey_col(tx, ty, z).alias("quadkey"),
+        F.round(w, 6).alias("west"), F.round(s, 6).alias("south"),
+        F.round(e, 6).alias("east"), F.round(n, 6).alias("north"))

@@ -492,3 +492,42 @@ def test_tile_heatmap_pyramid_equals_direct_per_zoom(spark):
             assert bytes(r.png) == bytes(d.png)
     with _pytest.raises(ValueError):
         tiles.tile_heatmap_pyramid(df, 12, (12,)).collect()
+
+
+def test_tile_index_quadkey_and_bounds(spark):
+    """tile_index: quadkeys match the canonical Bing bit-interleave
+    algorithm, degree bounds are a true inverse (the tile CENTER bins back
+    to the same tile; west<east, south<north), and z digits per key."""
+    import math
+
+    def bing_qk(tx, ty, z):
+        s = ""
+        for i in range(z, 0, -1):
+            d, mask = 0, 1 << (i - 1)
+            if tx & mask:
+                d += 1
+            if ty & mask:
+                d += 2
+            s += str(d)
+        return s
+
+    rng = np.random.default_rng(13)
+    pts = [(int(i), float(lo), float(la)) for i, (lo, la) in enumerate(
+        zip(rng.uniform(-170.0, 170.0, 200), rng.uniform(-80.0, 80.0, 200)))]
+    df = spark.createDataFrame(pts, "poi_id long, lon double, lat double")
+    z = 14
+    rows = tiles.tile_index(df, z).collect()
+    assert rows
+    n = 1 << z
+    for r in rows:
+        assert r.quadkey == bing_qk(r.tx, r.ty, z)
+        assert len(r.quadkey) == z
+        assert r.west < r.east and r.south < r.north
+        # inverse property: the center of the bounds re-bins to the tile
+        clon = (r.west + r.east) / 2.0
+        clat = (r.south + r.north) / 2.0
+        xn = (clon + 180.0) / 360.0
+        t = math.tan(math.radians(clat))
+        yn = (1.0 - math.log(t + math.sqrt(t * t + 1.0)) / math.pi) / 2.0
+        assert min(n - 1, max(0, int(math.floor(xn * n)))) == r.tx
+        assert min(n - 1, max(0, int(math.floor(yn * n)))) == r.ty
