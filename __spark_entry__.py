@@ -399,6 +399,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return TI.tile_heatmaps(view, z=10).select(
             "z", "tx", "ty", "n_points", "n_hot", "max_n")
 
+    def tile_heatmap_weighted(spark, sf):
+        # weighted raster: intensity = TOTAL IMAGE PIXELS landing on each
+        # map pixel (weight = w*h), the image-density map of the graft's
+        # image axis — same native binning, sum instead of count, both
+        # aggregates still partial
+        view = D.spark_poi_view(spark, sf)
+        src = view.select(
+            "lon", "lat",
+            (F.col("w").cast("long") * F.col("h")).alias("wt"))
+        return TI.tile_heatmaps(src, z=10, weight="wt").select(
+            "z", "tx", "ty", "n_points", "n_hot", "max_n")
+
     def tile_heatmap_pyr(spark, sf):
         # multi-zoom render from ONE input pass: coarser levels roll up
         # from the base GLOBAL PIXEL aggregate by bit-shift (pixel grids
@@ -1201,6 +1213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- round 6 (newest) -------------------------------------------
         "tile_heatmap_meta": tile_heatmap_meta,
+        "tile_heatmap_weighted": tile_heatmap_weighted,
         "tile_heatmap_pyramid": tile_heatmap_pyr,
         "stream_heatmaps_z10": stream_heatmaps,
         "ann_ivfpq_append_top10": ann_ivfpq_append,
@@ -1248,7 +1261,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_clusters": curate_clusters,
         "ann_components": ann_components,
         "events_sessions_update": events_sessions_update,
-        "split_by_content": split_by_content,
         # -- rounds 2-3 -------------------------------------------------
         "ann_brute_top10": ann_brute,
         "image_phash_pairs": image_phash_pairs,
@@ -1284,6 +1296,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_keep": curate,
         "curate_capped": curate_capped,
         "train_test_split": train_test_split,
+        # content-keyed variant of deterministic_split; the split family
+        # stays window-represented by split_by_component (round 6) —
+        # veteran tail
+        "split_by_content": split_by_content,
         "events_sessions": events_sessions,
         "tag_inheritance": tag_inheritance,
         "way_centroid": way_centroid,
@@ -1450,6 +1466,10 @@ def oracle_sql() -> dict[str, str]:
         # dim=256 subpixel resolution, per-pixel counts, per-tile
         # reduction (PNG bytes are pytest-golden'd, not SQL-expressible)
         "tile_heatmap_meta": f"{_POI} {_sql_heatmap_meta(10)}",
+        # weighted twin: identical binning, sum(w*h) instead of count(*)
+        "tile_heatmap_weighted": (
+            f"{_POI} {_sql_heatmap_meta(10, weight_sql='w * h')}"
+        ),
         # pyramid twin: DIRECT per-zoom binning (independent of the
         # engine's rollup-from-base-aggregate trick — the twin re-bins
         # the raw rows at every zoom, which is exactly what nesting makes
@@ -1979,7 +1999,8 @@ def _sql_pack_bins(budget: int = 256, buckets: int = 64) -> str:
     )
 
 
-def _sql_heatmap_meta(z: int, dim: int = 256) -> str:
+def _sql_heatmap_meta(z: int, dim: int = 256,
+                      weight_sql: str | None = None) -> str:
     """Per-zoom heatmap-metadata twin (tiles.tile_heatmaps minus the PNG):
     clamped global-pixel binning at dim-subpixel resolution (the
     sql_mercator_tile closed form scaled by dim), per-pixel counts, then
@@ -1993,14 +2014,17 @@ def _sql_heatmap_meta(z: int, dim: int = 256) -> str:
           f"((1.0 - ln(tan(radians(lat)) + sqrt(tan(radians(lat)) * "
           f"tan(radians(lat)) + 1.0)) / {math.pi!r}) / 2.0) "
           f"* {float(scale)!r}) AS BIGINT)))")
+    carry = "" if weight_sql is None else f", {weight_sql} AS wsrc"
+    nsrc = "count(*)" if weight_sql is None else "CAST(sum(wsrc) AS BIGINT)"
     return (
         f"SELECT {z} AS z, tx, ty, CAST(sum(n) AS BIGINT) AS n_points, "
         "count(*) AS n_hot, CAST(max(n) AS BIGINT) AS max_n FROM ("
-        "SELECT tx, ty, px, py, count(*) AS n FROM ("
+        f"SELECT tx, ty, px, py, {nsrc} AS n FROM ("
         f"SELECT CAST(floor(gx / {float(dim)!r}) AS BIGINT) AS tx, "
         f"CAST(floor(gy / {float(dim)!r}) AS BIGINT) AS ty, "
-        f"gx % {dim} AS px, gy % {dim} AS py FROM ("
-        f"SELECT {gx} AS gx, {gy} AS gy FROM poi) g) p "
+        f"gx % {dim} AS px, gy % {dim} AS py{', wsrc' if weight_sql else ''}"
+        " FROM ("
+        f"SELECT {gx} AS gx, {gy} AS gy{carry} FROM poi) g) p "
         "GROUP BY 1, 2, 3, 4) c GROUP BY 2, 3"
     )
 

@@ -393,7 +393,8 @@ def heatmap_raster(counts: np.ndarray, max_n: int) -> np.ndarray:
 
 
 def tile_heatmaps(df: DataFrame, z: int = 14, dim: int = 256,
-                  lon: str = "lon", lat: str = "lat") -> DataFrame:
+                  lon: str = "lon", lat: str = "lat",
+                  weight: str | None = None) -> DataFrame:
     """Render per-tile point-density heatmap PNGs — the raster SINK of the
     live-map stack (tile_histogram answers "how many per tile";
     this emits the tile IMAGE a slippy map serves).
@@ -418,7 +419,8 @@ def tile_heatmaps(df: DataFrame, z: int = 14, dim: int = 256,
     ``.write.partitionBy("z").parquet(...)`` or foreachPartition into an
     object store keyed z/tx/ty for direct tile serving.
     """
-    return render_pixel_counts(pixel_counts(df, z, dim, lon, lat), dim)
+    return render_pixel_counts(
+        pixel_counts(df, z, dim, lon, lat, weight), dim)
 
 
 def _global_pixel_cols(z: int, dim: int, lon: str, lat: str):
@@ -433,16 +435,23 @@ def _global_pixel_cols(z: int, dim: int, lon: str, lat: str):
 
 
 def pixel_counts(df: DataFrame, z: int, dim: int = 256,
-                 lon: str = "lon", lat: str = "lat") -> DataFrame:
+                 lon: str = "lon", lat: str = "lat",
+                 weight: str | None = None) -> DataFrame:
     """Hot-pixel counts (z, tx, ty, px, py, n_pt) — native binning + a
     map-side-combining groupBy; works on batch AND streaming frames (the
-    streaming sink's per-batch partials use exactly this expression)."""
+    streaming sink's per-batch partials use exactly this expression).
+    weight= sums an integer column instead of counting rows (e.g. w*h
+    for an image-pixel-density raster) — both aggregates stay partial."""
     gx, gy = _global_pixel_cols(z, dim, lon, lat)
+    cols = [(gx / dim).cast("long").alias("tx"),
+            (gy / dim).cast("long").alias("ty"),
+            (gx % dim).alias("px"), (gy % dim).alias("py")]
+    agg = (F.count("*") if weight is None
+           else F.sum(weight).cast("long")).alias("n_pt")
+    src = df.select(*cols) if weight is None \
+        else df.select(*cols, F.col(weight))
     return (
-        df.select((gx / dim).cast("long").alias("tx"),
-                  (gy / dim).cast("long").alias("ty"),
-                  (gx % dim).alias("px"), (gy % dim).alias("py"))
-        .groupBy("tx", "ty", "px", "py").agg(F.count("*").alias("n_pt"))
+        src.groupBy("tx", "ty", "px", "py").agg(agg)
         .select(F.lit(int(z)).alias("z"), "tx", "ty", "px", "py", "n_pt")
     )
 

@@ -531,3 +531,19 @@ def test_tile_index_quadkey_and_bounds(spark):
         yn = (1.0 - math.log(t + math.sqrt(t * t + 1.0)) / math.pi) / 2.0
         assert min(n - 1, max(0, int(math.floor(xn * n)))) == r.tx
         assert min(n - 1, max(0, int(math.floor(yn * n)))) == r.ty
+
+
+def test_tile_heatmaps_weighted_sums(spark):
+    """weight= sums the column instead of counting rows: one point with
+    weight 7 renders exactly like 7 stacked unit points."""
+    pts = [(0, 8.80, 53.07, 7)]
+    wdf = spark.createDataFrame(pts, "poi_id long, lon double, lat double, wt long")
+    udf = spark.createDataFrame(
+        [(i, 8.80, 53.07) for i in range(7)], "poi_id long, lon double, lat double")
+    got = tiles.tile_heatmaps(wdf, z=10, weight="wt").collect()
+    ref = tiles.tile_heatmaps(udf, z=10).collect()
+    assert len(got) == len(ref) == 1
+    g, r = got[0], ref[0]
+    assert (g.n_points, g.n_hot, g.max_n) == (r.n_points, r.n_hot, r.max_n) \
+        == (7, 1, 7)
+    assert bytes(g.png) == bytes(r.png)
