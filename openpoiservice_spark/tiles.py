@@ -411,7 +411,9 @@ def tile_heatmaps(df: DataFrame, z: int = 14, dim: int = 256,
         PNG bytes come from the repo's own `imaging.encode_png` (filter-0
         RGB, any standard viewer opens it).
 
-    Intensity is per-tile log-normalized (`heatmap_raster`).  At 10^12
+    Intensity is per-tile log-normalized (`heatmap_raster`); weight=
+    sums an integer column instead of counting rows (image-density
+    rasters — see pixel_counts).  At 10^12
     points the pixel aggregate is the only wide exchange and is bounded
     by geometry (visited tiles x dim^2), not input size — the same state
     argument as stream_tile_counts; the render stage is embarrassingly
