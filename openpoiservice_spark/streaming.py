@@ -494,6 +494,10 @@ def heatmap_batch(batch_df: DataFrame, batch_id: int, out_dir: str,
 
     spark = batch_df.sparkSession
     with commit_lock(spark, f"{out_dir}/pixels"):
+        # heal any interrupted compaction BEFORE reading the store — a
+        # render must never see a state where inputs were deleted but
+        # their consolidation is still invisible
+        _recover_compact_tmp(spark, f"{out_dir}/pixels")
         part = TI.pixel_counts(batch_df, z, dim, lon, lat).persist()
         try:
             part.write.mode("overwrite") \
@@ -546,56 +550,21 @@ def compact_heatmap_pixels(spark, out_dir: str,
       3. publish: rename `_compact_tmp` -> `b<hex>c` (visible).
 
     Crash between 1 and 3 leaves `_compact_tmp` + the manifest behind;
-    the next call recovers first — it deletes whichever manifest inputs
-    still exist and publishes the tmp — so the store never double-counts
-    (tmp and its inputs are never both visible) and never loses partials
-    (inputs are deleted only after their aggregate is durably written).
+    recovery (`_recover_compact_tmp`) runs first on the next call AND at
+    the start of every stream batch — it deletes whichever manifest
+    inputs still exist and publishes the tmp — so the store never
+    double-counts (tmp and its inputs are never both visible), never
+    loses partials (inputs are deleted only after their aggregate is
+    durably written), and a render can never read it incomplete.
     Returns {"dirs_before", "dirs_after", "rows", "compacted"}."""
     import json
-    import uuid
 
-    from .prepare import _hadoop_fs, commit_lock
+    from .prepare import commit_lock
 
     px_root = f"{out_dir}/pixels"
-    jvm_path = lambda s: _hadoop_fs(spark, s)  # noqa: E731
-
-    def _list_inputs(fs, root):
-        return sorted(
-            st.getPath().getName() for st in fs.listStatus(root)
-            if st.isDirectory() and not st.getPath().getName().startswith(
-                ("_", ".")))
-
-    def _publish(fs, tmp):
-        name = f"b{uuid.uuid4().hex[:12]}c"
-        if not fs.rename(tmp, jvm_path(f"{px_root}/{name}")[1]):
-            raise IOError(f"could not publish {px_root}/{name}")
-
     with commit_lock(spark, px_root, timeout_s=timeout_s):
-        fs, root = jvm_path(px_root)
-        tmp = jvm_path(f"{px_root}/_compact_tmp")[1]
-        manifest = jvm_path(f"{px_root}/_compact_tmp/_inputs.json")[1]
-        if fs.exists(tmp):
-            # recovery: a previous compaction crashed mid-protocol
-            if fs.exists(manifest):
-                stream = fs.open(manifest)
-                try:
-                    data = []
-                    while True:
-                        b = stream.read()
-                        if b < 0:
-                            break
-                        data.append(b)
-                finally:
-                    stream.close()
-                for d in json.loads(bytes(data).decode("ascii")):
-                    fs.delete(jvm_path(f"{px_root}/{d}")[1], True)
-                _publish(fs, tmp)
-            else:
-                # crashed before the manifest: tmp content is untrusted
-                # (inputs untouched, all data still in them) — discard
-                fs.delete(tmp, True)
-
-        inputs = _list_inputs(fs, root)
+        fs, root, jvm_path = _recover_compact_tmp(spark, px_root)
+        inputs = _list_partial_dirs(fs, root)
         before = len(inputs)
         if before <= 1:
             return {"dirs_before": before, "dirs_after": before,
@@ -607,13 +576,69 @@ def compact_heatmap_pixels(spark, out_dir: str,
         )
         agg.write.mode("overwrite").parquet(f"{px_root}/_compact_tmp")
         rows = spark.read.parquet(f"{px_root}/_compact_tmp").count()
-        out = fs.create(manifest, True)
+        out = fs.create(jvm_path(f"{px_root}/_compact_tmp/_inputs.json")[1],
+                        True)
         try:
             out.write(bytearray(json.dumps(inputs).encode("ascii")))
         finally:
             out.close()
         for d in inputs:
             fs.delete(jvm_path(f"{px_root}/{d}")[1], True)
-        _publish(fs, tmp)
+        _publish_compact_tmp(spark, px_root, fs)
         return {"dirs_before": before, "dirs_after": 1, "rows": rows,
                 "compacted": True}
+
+
+def _list_partial_dirs(fs, root):
+    return sorted(
+        st.getPath().getName() for st in fs.listStatus(root)
+        if st.isDirectory() and not st.getPath().getName().startswith(
+            ("_", ".")))
+
+
+def _publish_compact_tmp(spark, px_root, fs):
+    import uuid
+
+    from .prepare import _hadoop_fs
+
+    tmp = _hadoop_fs(spark, f"{px_root}/_compact_tmp")[1]
+    name = f"b{uuid.uuid4().hex[:12]}c"
+    if not fs.rename(tmp, _hadoop_fs(spark, f"{px_root}/{name}")[1]):
+        raise IOError(f"could not publish {px_root}/{name}")
+
+
+def _recover_compact_tmp(spark, px_root):
+    """Finish (or discard) an interrupted compaction — caller MUST hold the
+    pixel store's commit lock.  Idempotent and cheap when there is nothing
+    to recover; called by BOTH compact_heatmap_pixels and heatmap_batch,
+    so an interrupted compaction heals on the very next stream batch and
+    a render can never read the store with some inputs deleted but the
+    consolidation still invisible."""
+    import json
+
+    from .prepare import _hadoop_fs
+
+    jvm_path = lambda s: _hadoop_fs(spark, s)  # noqa: E731
+    fs, root = jvm_path(px_root)
+    tmp = jvm_path(f"{px_root}/_compact_tmp")[1]
+    if fs.exists(tmp):
+        manifest = jvm_path(f"{px_root}/_compact_tmp/_inputs.json")[1]
+        if fs.exists(manifest):
+            stream = fs.open(manifest)
+            try:
+                data = []
+                while True:
+                    b = stream.read()
+                    if b < 0:
+                        break
+                    data.append(b)
+            finally:
+                stream.close()
+            for d in json.loads(bytes(data).decode("ascii")):
+                fs.delete(jvm_path(f"{px_root}/{d}")[1], True)
+            _publish_compact_tmp(spark, px_root, fs)
+        else:
+            # crashed before the manifest: tmp content is untrusted
+            # (inputs untouched, all data still in them) — discard
+            fs.delete(tmp, True)
+    return fs, root, jvm_path

@@ -747,6 +747,26 @@ def test_compact_heatmap_pixels_bounds_store_and_recovers(spark, tmp_path):
     assert agg_state() == expect
     assert len(dirs()) == 1
 
+    # crash window B again, but healed by the NEXT STREAM BATCH instead
+    # of a compact call: heatmap_batch recovers under its own lock before
+    # reading, so a render can never see the half-deleted store.  (The
+    # extra batches are EMPTY — they add a partial dir and trigger
+    # recovery without changing any counts.)
+    STR.heatmap_batch(df.filter(F.col("poi_id") < 0), 6, out, z=z)
+    expect = agg_state()
+    inputs = dirs()
+    assert len(inputs) == 2
+    (spark.read.option("recursiveFileLookup", "true")
+     .parquet(f"{out}/pixels")
+     .groupBy("z", "tx", "ty", "px", "py").agg(F.sum("n_pt").alias("n_pt"))
+     .write.mode("overwrite").parquet(f"{out}/pixels/_compact_tmp"))
+    with open(f"{out}/pixels/_compact_tmp/_inputs.json", "w") as f:
+        json.dump(inputs, f)
+    shutil.rmtree(f"{out}/pixels/{inputs[1]}")
+    STR.heatmap_batch(df.filter(F.col("poi_id") < 0), 99, out, z=z)
+    assert agg_state() == expect
+    assert not os.path.exists(f"{out}/pixels/_compact_tmp")
+
     # the sink keeps converging on the compacted store.  NOTE: batches 4
     # and 5 re-delivered the %4==0 / %4==1 subsets under NEW batch ids —
     # from the sink's contract that is genuinely new data (idempotence is
