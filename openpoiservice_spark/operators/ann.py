@@ -433,6 +433,161 @@ def _normed_emb(emb: DataFrame) -> DataFrame:
                                _norm(F.col("embedding")).alias("_en"))
 
 
+def _np_dot_lr(E: np.ndarray, Q: np.ndarray) -> np.ndarray:
+    """(ne, d) x (nq, d) -> (ne, nq) pairwise dots with STRICT left-to-right
+    accumulation over the dimension axis — each pair's sum performs the
+    identical IEEE-754 double adds, in the identical order, as the JVM
+    `_dot` (aggregate over zip_with), so the raw values are bit-identical
+    to what the former join-side expression produced.  np.dot/np.matmul
+    would be faster but use pairwise/SIMD summation whose last bits differ;
+    here correctness (hash-stable cosines) beats the constant factor."""
+    acc = np.zeros((E.shape[0], Q.shape[0]), dtype=np.float64)
+    for d in range(E.shape[1]):
+        acc += E[:, d, None] * Q[None, :, d]
+    return acc
+
+
+def _np_norm_lr(E: np.ndarray) -> np.ndarray:
+    """Row norms with left-to-right accumulation (bit-identical to `_norm`)."""
+    acc = np.zeros(E.shape[0], dtype=np.float64)
+    for d in range(E.shape[1]):
+        acc += E[:, d] * E[:, d]
+    return np.sqrt(acc)
+
+
+def _np_buckets(E: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """LSH sign-pattern buckets, bit-identical to `bucket_col` (left-to-right
+    plane dots, strict `> 0` sign test)."""
+    out = np.zeros(E.shape[0], dtype=np.int64)
+    for p in range(len(planes)):
+        dp = np.zeros(E.shape[0], dtype=np.float64)
+        for d in range(E.shape[1]):
+            dp += E[:, d] * planes[p, d]
+        out |= (dp > 0).astype(np.int64) << p
+    return out
+
+
+#: slack on the per-partition partial top-k when ranking later happens on the
+#: JVM-rounded cosine: a row can only displace a kept one if its raw cosine
+#: is within 1e-6 of the k-th best (F.round(x, 6) moves a value < 5e-7), so
+#: keeping everything within 2e-6 of the k-th raw guarantees the global
+#: rounded-rank top-k is a subset of the partials — no rounding re-implement
+#: needed in Python, F.round stays the single rounding authority.
+_TOPK_EPS = 2e-6
+
+
+def _emit_partial_topk(out: list, k: int):
+    """(query_id, vec_id, cosine_raw) triples -> per-query partial top-k
+    with the `_TOPK_EPS` margin, as one pandas frame."""
+    import pandas as pd
+
+    df = pd.concat(out, ignore_index=True) if len(out) > 1 else out[0]
+    df = df.sort_values(["query_id", "cosine_raw"],
+                        ascending=[True, False], kind="mergesort")
+    kth = (df.groupby("query_id", sort=False)["cosine_raw"]
+           .transform(lambda s: s.iloc[min(k, len(s)) - 1]))
+    return df[df["cosine_raw"].to_numpy() >= kth.to_numpy() - _TOPK_EPS]
+
+
+def _np_candidates_fn(q_ids: np.ndarray, Qm: np.ndarray, Qn: np.ndarray,
+                      probe_of: dict | None, planes: np.ndarray | None,
+                      k: int):
+    """mapInPandas body for the broadcast batch top-k paths: the bucket
+    'join' runs in Python against the (small, broadcast-by-closure) probe
+    set, so per-pair arithmetic is one vectorized numpy pass instead of
+    per-row JVM higher-order functions, and NOTHING but the slim embedding
+    rows ever crosses Arrow (guide §4.2/§8: decide with small rows — the
+    candidate pairing needs only bucket ids — and let the heavy per-pair
+    math ride a vectorized kernel).  probe_of=None means brute: every query
+    is a candidate for every row."""
+    import pandas as pd
+
+    def run(batches):
+        out = []
+        for b in batches:
+            if not len(b):
+                continue
+            E = np.array(b["embedding"].tolist(), dtype=np.float64)
+            vid = b["vec_id"].to_numpy()
+            en = _np_norm_lr(E)
+            if probe_of is None:
+                groups = [(np.arange(len(E)), np.arange(len(q_ids)))]
+            else:
+                buck = _np_buckets(E, planes)
+                groups = []
+                for bu in np.unique(buck):
+                    qidx = probe_of.get(int(bu))
+                    if qidx is not None:
+                        groups.append((np.nonzero(buck == bu)[0], qidx))
+            for eidx, qidx in groups:
+                if not len(eidx) or not len(qidx):
+                    continue
+                dots = _np_dot_lr(E[eidx], Qm[qidx])
+                cos = dots / (en[eidx, None] * Qn[None, qidx])
+                ne, nq = cos.shape
+                out.append(pd.DataFrame({
+                    "query_id": np.repeat(q_ids[qidx][None, :], ne, 0).ravel(),
+                    "vec_id": np.repeat(vid[eidx], nq),
+                    "cosine_raw": cos.ravel(),
+                }))
+        if out:
+            yield _emit_partial_topk(out, k)[
+                ["query_id", "vec_id", "cosine_raw"]]
+
+    return run
+
+
+def _collect_queries(queries: DataFrame, query_id: str, qvec_col: str):
+    """Driver-side materialization of the probe batch — the same memory
+    class as the BroadcastExchange the former plan built from this side
+    (bounded by the probe batch, never the corpus)."""
+    pdf = queries.select(F.col(query_id).cast("long").alias("query_id"),
+                         F.col(qvec_col).alias("qvec")).toPandas()
+    if not len(pdf):
+        return np.empty(0, np.int64), np.empty((0, 0)), np.empty(0)
+    q_ids = pdf["query_id"].to_numpy(np.int64)
+    Qm = np.array(pdf["qvec"].tolist(), dtype=np.float64)
+    return q_ids, Qm, _np_norm_lr(Qm)
+
+
+def _topk_from_raw(cand_raw: DataFrame, k: int) -> DataFrame:
+    """(query_id, vec_id, cosine_raw) partials -> exact top-k per query:
+    F.round in the JVM (the single rounding authority — ranking semantics
+    identical to `_topk_per_query`) + one row_number window over the <= ~k
+    rows per (partition, query) the Arrow pass emitted."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (cand_raw
+            .select("query_id", "vec_id",
+                    F.round(F.col("cosine_raw"), 6).alias("cosine"))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k).drop("_rn"))
+
+
+def _batch_topk_arrow(emb: DataFrame, queries: DataFrame, k: int,
+                      planes: np.ndarray | None, query_id: str,
+                      qvec_col: str) -> DataFrame:
+    """Shared Arrow-pass engine of batch_topk (planes given) and
+    batch_topk_brute (planes=None)."""
+    q_ids, Qm, Qn = _collect_queries(queries, query_id, qvec_col)
+    probe_of = None
+    if planes is not None:
+        qb = _np_buckets(Qm, planes) if len(Qm) else np.empty(0, np.int64)
+        probe_of = {}
+        for i, b in enumerate(qb):
+            for bucket in [int(b)] + [int(b) ^ (1 << p)
+                                      for p in range(len(planes))]:
+                probe_of.setdefault(bucket, []).append(i)
+        probe_of = {b: np.asarray(ix, dtype=np.int64)
+                    for b, ix in probe_of.items()}
+        planes = np.asarray(planes, dtype=np.float64)
+    cand = _spread(emb).select("vec_id", "embedding").mapInPandas(
+        _np_candidates_fn(q_ids, Qm, Qn, probe_of, planes, k),
+        schema="query_id long, vec_id long, cosine_raw double")
+    return _topk_from_raw(cand, k)
+
+
 def _fill_underfilled(emb: DataFrame, q: DataFrame, topk: DataFrame,
                       k: int) -> DataFrame:
     """Correctness fence shared by the bucketed batch paths: any query whose
@@ -476,12 +631,15 @@ def batch_topk_brute(emb: DataFrame, queries: DataFrame, k: int = 10,
     top-k in an Arrow pass, then one row_number window over <= k rows per
     (partition, query).  For query sets too large to broadcast, use the
     bucketed `batch_topk` / `batch_topk_ivf` whose probe join is an
-    equi-join."""
-    q = _norm_queries(queries, query_id, qvec_col)
-    cand = _normed_emb(emb).alias("e") \
-        .crossJoin(F.broadcast(q).alias("q")) \
-        .select(*_cand_cols())
-    return _topk_per_query(cand, k)
+    equi-join.
+
+    Round 7: the pair enumeration + cosine run in ONE Arrow pass over the
+    embedding side against the driver-materialized query block (the same
+    memory class as the former BroadcastNestedLoopJoin's broadcast side) —
+    per-pair math is a vectorized numpy kernel with left-to-right
+    accumulation, bit-identical to the former JVM expression; F.round and
+    the ranking window stay in the JVM."""
+    return _batch_topk_arrow(emb, queries, k, None, query_id, qvec_col)
 
 
 def batch_recall(approx: DataFrame, exact: DataFrame, k: int,
@@ -536,8 +694,22 @@ def batch_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
          re-probe policy batchjoin.batch_knn applies to geo kNN).  The
          driver-side work is one count of the under-filled set.
     Returns (query_id, vec_id, cosine), deterministic (rounded-cosine rank,
-    vec_id tie-break)."""
+    vec_id tie-break).
+
+    Round 7 (broadcast path): the bucket equi-join + per-pair cosine run in
+    ONE Arrow pass over the (slim) embedding side against the
+    driver-materialized probe set — same candidate set (bucket math is
+    bit-identical), same memory class as the former BroadcastExchange,
+    vectorized numpy arithmetic instead of per-pair JVM higher-order
+    functions.  broadcast_queries=False keeps the shuffled equi-join for
+    query sets too large to hold in one block."""
     planes = hyperplanes() if planes is None else planes
+    if broadcast_queries:
+        topk = _batch_topk_arrow(emb, queries, k, planes, query_id, qvec_col)
+        if not fill:
+            return topk
+        q = _norm_queries(queries, query_id, qvec_col)
+        return _fill_underfilled(emb, q, topk, k)
     q = _norm_queries(queries, query_id, qvec_col)
     b = _normed_emb(emb).withColumn(
         "bucket", bucket_col(F.col("embedding"), planes))
@@ -546,8 +718,6 @@ def batch_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
         F.col("qb").bitwiseXOR(F.lit(1 << p)) for p in range(len(planes))])
     probes = qb.select("query_id", "qvec", "_qn",
                        F.explode(probe_arr).alias("bucket"))
-    if broadcast_queries:
-        probes = F.broadcast(probes)
     cand = b.alias("e").join(probes.alias("q"), "bucket") \
             .select(*_cand_cols())
     topk = _topk_per_query(cand, k)

@@ -234,13 +234,11 @@ def dct_phash(df: DataFrame, on_error: str = "fail") -> DataFrame:
                 coef = basis @ small @ basis.T
                 low = coef[:8, :8].ravel()
                 med = np.median(low)
-                bits = np.where(low > med, 1, 0).astype(np.uint64)
-                h = np.uint64(0)
-                for bit in bits:
-                    h = (h << np.uint64(1)) | bit
+                # MSB-first bit pack (packbits packs bit 0 of the array into
+                # the byte's MSB — identical to the former shift-or loop);
                 # two's-complement reinterpretation via Python int: NumPy 2.x
                 # raises OverflowError on np.int64(uint64-with-bit-63-set)
-                hv = int(h)
+                hv = int.from_bytes(np.packbits(low > med).tobytes(), "big")
                 out["dct_phash"].append(hv - (1 << 64) if hv >= (1 << 63) else hv)
             if out["image_id"]:
                 yield pd.DataFrame(out)
@@ -285,20 +283,33 @@ def hamming_pairs(df: DataFrame, col: str = "phash", key: str = "image_id",
     ])
     e = b.select("k", "fp", F.explode(slices).alias("bb")) \
          .select("k", "fp", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    # Round 7: groupBy + collect_list + in-bucket expansion instead of the
+    # banded self-join — the join planned the whole upstream subtree (for
+    # dct_phash inputs: the full image DECODE pass) once per side, and the
+    # max_bucket census a third/fourth time (8 scan+decode subtrees in the
+    # bench plan).  One aggregation computes the fingerprints exactly once;
+    # the size cap is a free filter on the same aggregate; sorted-list
+    # combinations reproduce the join's l.k < r.k pairs exactly (a key
+    # appears once per bucket), and the same distinct collapses cross-band
+    # duplicates.  See text._pairs_from_banded for the full rationale.
+    arr = F.array_sort(F.collect_list(F.struct(F.col("k"), F.col("fp")))) \
+        .alias("ks")
+    buckets = e.groupBy("band", "bh").agg(arr)
     if max_bucket is not None:
-        ok = (
-            e.groupBy("band", "bh").agg(F.count("*").alias("_n"))
-            .filter(F.col("_n") <= max_bucket)
-            .select("band", "bh")
-        )
-        e = e.join(ok, ["band", "bh"])
-    l, r = e.alias("l"), e.alias("r")
+        buckets = buckets.filter(F.size("ks") <= max_bucket)
+    ks = F.col("ks")
+    expand = F.flatten(F.transform(
+        ks, lambda x, i: F.transform(
+            F.slice(ks, i + F.lit(2), F.size(ks)),
+            lambda y: F.struct(x["k"].alias("key_a"), y["k"].alias("key_b"),
+                               x["fp"].alias("fp_a"), y["fp"].alias("fp_b")))))
     cand = (
-        l.join(r, (F.col("l.band") == F.col("r.band"))
-               & (F.col("l.bh") == F.col("r.bh"))
-               & (F.col("l.k") < F.col("r.k")))
-        .select(F.col("l.k").alias("key_a"), F.col("r.k").alias("key_b"),
-                F.col("l.fp").alias("fp_a"), F.col("r.fp").alias("fp_b"))
+        buckets.select(F.explode(expand).alias("p"))
+        # strict <, not positional: the key column may carry DUPLICATES
+        # (the prepared table holds multiple rows per image_id by design)
+        # and the old join's l.k < r.k excluded equal-key pairs
+        .filter(F.col("p.key_a") < F.col("p.key_b"))
+        .select("p.key_a", "p.key_b", "p.fp_a", "p.fp_b")
         .distinct()
     )
     dist = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))

@@ -68,7 +68,25 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 
 def shingles(docs: DataFrame, n: int = 5) -> DataFrame:
-    """Explode each doc into its character n-gram shingles (distinct)."""
+    """Explode each doc into its character n-gram shingles (distinct).
+
+    The input is `_spread` first (ann.py's parallelism guard): a corpus
+    read as one/few parquet partitions runs the explode + every
+    downstream per-shingle hash on one core — and now that the candidate
+    pipeline computes each subtree exactly once (_pairs_from_banded),
+    there is no accidental stage overlap to hide that (bench cpu_env:
+    89-94% idle on the text lanes at 32 cores).  The repartition shuffles
+    raw docs (cheap) so the 10-100x larger shingle stream parallelizes; a
+    table with adequate partitioning — the 100 TB case — passes through
+    untouched.  The repartition is KEYED on doc_id (not round-robin) so the
+    signature stage's groupBy("doc_id") reuses the partitioning instead of
+    adding a second exchange (guide §2.4: two operations keyed the same way
+    share one exchange)."""
+    spark = docs.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < max(2, target // 2):
+        docs = docs.repartition(target, "doc_id")
+
     sh = F.expr(f"transform(sequence(1, length(text) - {n - 1}), i -> substring(text, i, {n}))")
     # guard: Spark's sequence(1, x) runs DOWNWARD for x < 1 — short docs must
     # be excluded, not fed to sequence (DuckDB's range(1, x) is empty there)
@@ -151,23 +169,44 @@ def lsh_candidate_pairs(docs: DataFrame, k: int = 8, bands: int = 2, n: int = 5,
 
 def _pairs_from_banded(banded: DataFrame,
                        max_bucket: int | None) -> DataFrame:
+    """Candidate pairs from the (doc_id, band, bhash) frame — ONE
+    aggregation per bucket + in-bucket pair expansion.
+
+    Round 7: the former shape (banded self-JOIN on (band, bhash)) planned
+    the ENTIRE upstream subtree twice — the shingle explode + per-shingle
+    hash + signature aggregation ran once per join side (a broadcast hash
+    join cannot reuse the other side's exchange), and the max_bucket guard
+    re-derived it a third time for the bucket census.  groupBy +
+    collect_list computes the subtree ONCE, the bucket-size cap becomes a
+    free `size(list) <= max_bucket` filter on the same aggregate, and the
+    pair expansion (sorted list -> all a < b combinations) is a JVM
+    higher-order expression that parallelizes across the bucket shuffle's
+    reducers.  At 100 TB this also replaces broadcasting the whole banded
+    corpus (the old build side) with one keyed shuffle of it.  Per-bucket
+    memory is O(bucket size); degenerate buckets are exactly what
+    max_bucket exists to cap (route them to exact_dedup — see
+    lsh_candidate_pairs).  Output is identical: within a bucket each doc
+    appears once, so sorted-list combinations reproduce the join's
+    l.doc_id < r.doc_id pairs exactly, and the same distinct collapses
+    cross-band duplicates."""
+    arr = F.array_sort(F.collect_list("doc_id")).alias("ds")
+    buckets = banded.groupBy("band", "bhash").agg(arr)
     if max_bucket is not None:
-        ok = (
-            banded.groupBy("band", "bhash").agg(F.count("*").alias("_n"))
-            .filter(F.col("_n") <= max_bucket)
-            .select("band", "bhash")
-        )
-        banded = banded.join(ok, ["band", "bhash"])
-    left = banded.alias("l")
-    right = banded.alias("r")
-    pairs = (
-        left.join(right, (F.col("l.band") == F.col("r.band"))
-                  & (F.col("l.bhash") == F.col("r.bhash"))
-                  & (F.col("l.doc_id") < F.col("r.doc_id")))
-        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        buckets = buckets.filter(F.size("ds") <= max_bucket)
+    ds = F.col("ds")
+    expand = F.flatten(F.transform(
+        ds, lambda x, i: F.transform(
+            F.slice(ds, i + F.lit(2), F.size(ds)),
+            lambda y: F.struct(x.alias("a"), y.alias("b")))))
+    return (
+        buckets.select(F.explode(expand).alias("p"))
+        # strict <, not positional: robust to duplicate ids (the banded
+        # frame is unique per (doc, band) by construction, but an external
+        # caller's frame may not be — the old join's l < r excluded ties)
+        .filter(F.col("p.a") < F.col("p.b"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .distinct()
     )
-    return pairs
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.2, n: int = 5,

@@ -396,8 +396,13 @@ def test_batch_knn_plan_no_cartesian(spark, view):
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        plan = _plan(BJ.batch_knn(view, _qdf(spark, queries), k=5, res=12,
-                                  r0=2))
+        # the returned frame is checkpointed (round 7: fence check and the
+        # caller's action share one materialization), so the candidate-join
+        # shape is asserted through the probe_stats per-round plan hook
+        stats: dict = {}
+        BJ.batch_knn(view, _qdf(spark, queries), k=5, res=12,
+                     r0=2, probe_stats=stats).count()
+        plan = "\n".join(stats["plans"])
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "CartesianProduct" not in plan
@@ -420,11 +425,14 @@ def test_batch_knn_pcell_pruning(spark, fixture_paths):
     base = Counter((r.query_id, r.poi_id) for r in
                    BJ.batch_knn(pts, _qdf(spark, queries), k=5, res=14,
                                 r0=2).collect())
+    stats: dict = {}
     pruned_df = BJ.batch_knn(pts, _qdf(spark, queries), k=5, res=14, r0=2,
-                             pcell_col="pcell")
+                             pcell_col="pcell", probe_stats=stats)
     pruned = Counter((r.query_id, r.poi_id) for r in pruned_df.collect())
     assert pruned == base and len(base) == 10
-    plan = _plan(pruned_df)
+    # the returned frame is checkpointed; assert the scan shape through the
+    # probe_stats per-round plan hook (round 7)
+    plan = "\n".join(stats["plans"])
     seg = plan.split("PartitionFilters")[1][:300]
     assert "pcell" in seg and "IN" in seg.upper()
 
