@@ -1146,22 +1146,12 @@ def write_pq_codebooks(spark, path: str, codebooks: np.ndarray) -> None:
 def read_pq_codebooks(spark, path: str) -> np.ndarray | None:
     import json
 
-    from ..prepare import _hadoop_fs
+    from ..prepare import read_sidecar_text
 
-    fs, p = _hadoop_fs(spark, f"{path}/{PQ_CODEBOOK_FILE}")
-    if not fs.exists(p):
+    txt = read_sidecar_text(spark, f"{path}/{PQ_CODEBOOK_FILE}")
+    if txt is None:
         return None
-    stream = fs.open(p)
-    try:
-        data = []
-        while True:
-            b = stream.read()
-            if b < 0:
-                break
-            data.append(b)
-        return np.asarray(json.loads(bytes(data).decode("ascii")))
-    finally:
-        stream.close()
+    return np.asarray(json.loads(txt))
 
 
 def pq_recon_col(codes_col: Column, codebooks: np.ndarray) -> Column:

@@ -460,22 +460,10 @@ def read_band_params(spark, path: str) -> dict | None:
     """The index's persisted banding parameters, or None (pre-sidecar)."""
     import json
 
-    from ..prepare import _hadoop_fs
+    from ..prepare import read_sidecar_text
 
-    fs, p = _hadoop_fs(spark, f"{path}/{BAND_PARAMS_FILE}")
-    if not fs.exists(p):
-        return None
-    stream = fs.open(p)
-    try:
-        data = []
-        while True:
-            b = stream.read()
-            if b < 0:
-                break
-            data.append(b)
-        return json.loads(bytes(data).decode("ascii"))
-    finally:
-        stream.close()
+    txt = read_sidecar_text(spark, f"{path}/{BAND_PARAMS_FILE}")
+    return None if txt is None else json.loads(txt)
 
 
 def read_band_index(spark, path: str) -> DataFrame:

@@ -88,6 +88,30 @@ def _hadoop_fs(spark: SparkSession, path_str: str):
     return fs, p
 
 
+def read_sidecar_text(spark: SparkSession, path_str: str) -> str | None:
+    """Small sidecar file (JSON manifests, codebooks, band params) -> str,
+    or None if absent.  Buffered line reads: ONE py4j round-trip per line
+    instead of one per byte — the former stream.read() loop cost ~20k JVM
+    round-trips for a ~20 KB codebook, paid by every table reader (round-6
+    ADVICE).  Newlines are normalized to \\n, irrelevant for the JSON
+    payloads every caller parses."""
+    fs, p = _hadoop_fs(spark, path_str)
+    if not fs.exists(p):
+        return None
+    jvm = spark.sparkContext._jvm
+    br = jvm.java.io.BufferedReader(jvm.java.io.InputStreamReader(fs.open(p)))
+    try:
+        lines = []
+        while True:
+            ln = br.readLine()
+            if ln is None:
+                break
+            lines.append(ln)
+    finally:
+        br.close()
+    return "\n".join(lines)
+
+
 #: a live writer refreshes the lock mtime this often; a waiter treats a lock
 #: whose mtime is older than LOCK_STALE_TTL_S as a DEAD writer and sweeps it.
 #: TTL >> heartbeat so a paused-but-alive writer (GC, CPU starvation) is not

