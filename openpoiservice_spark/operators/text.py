@@ -253,8 +253,11 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.2, n: int = 5,
     # frame itself is broadcast-sized, so the restriction is a broadcast
     # hash join over the cached shingle scan, not another big shuffle)
     touched = cand.select(
-        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")).distinct()
-    sh_c = sh.join(F.broadcast(touched), "doc_id")
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+    # left_semi tolerates duplicate probe keys, so the former
+    # touched.distinct() exchange is gone (round 7: one less shuffle +
+    # codegen stage on the verification path; same restriction semantics)
+    sh_c = sh.join(F.broadcast(touched), "doc_id", "left_semi")
     inter = (
         cand.join(sh_c.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .join(
