@@ -200,30 +200,48 @@ def auto_salt_cells(pcell_rows: dict[int, int], threshold: int,
 
 def _refine_fn(keep_cols: list[str], lon_col: str, lat_col: str,
                with_distance: bool = False, min_buffer_m: float = 0.0):
-    out_cols = ["geom_id", *keep_cols] + (["distance"] if with_distance else [])
+    """mapInArrow body of the exact refine (round 7; was mapInPandas):
+    every candidate row carries the packed geometry JSON, and the pandas
+    conversion materialized one Python string object per candidate (~60 MB
+    and a few hundred ms per 300k candidates at sf0.1) only for the body
+    to look at ONE string per geometry group.  Arrow-native batches keep
+    `gspec` in its contiguous buffer — it is touched once per group via
+    .as_py(); lon/lat/geom_id convert zero-copy to numpy (guide §4.1/§4.2:
+    pass batches, hand whole batches to vectorized code)."""
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def run(batches):
+        import pyarrow as pa
+
         for b in batches:
-            if not len(b):
+            n = b.num_rows
+            if not n:
                 continue
-            lon = b[lon_col].to_numpy()
-            lat = b[lat_col].to_numpy()
-            keep = np.zeros(len(b), dtype=bool)
-            dist = np.zeros(len(b), dtype=np.float64) if with_distance else None
+            lon = b.column(lon_col).to_numpy(zero_copy_only=False)
+            lat = b.column(lat_col).to_numpy(zero_copy_only=False)
+            gids = b.column("geom_id").to_numpy(zero_copy_only=False)
+            keep = np.zeros(n, dtype=bool)
+            dist = np.zeros(n, dtype=np.float64) if with_distance else None
             # group by geometry within the Arrow batch: the join's hash
-            # partitioning clusters each qcell's rows, so batches contain few
-            # distinct geometries and each group refines vectorized
-            for _, idx in b.groupby("geom_id", sort=False).indices.items():
-                spec, buf = _unpack_geom_cached(b["gspec"].iloc[idx[0]])
+            # partitioning clusters each qcell's rows, so batches contain
+            # few distinct geometries and each group refines vectorized
+            order = np.argsort(gids, kind="stable")
+            bounds = np.flatnonzero(np.diff(gids[order])) + 1
+            gspec_col = b.column("gspec")
+            for idx in np.split(order, bounds):
+                spec, buf = _unpack_geom_cached(gspec_col[int(idx[0])].as_py())
                 d = spec.distance_m(lon[idx], lat[idx])
                 keep[idx] = d <= max(buf, min_buffer_m)
                 if with_distance:
                     dist[idx] = d
             if keep.any():
-                out = b.loc[keep, ["geom_id", *keep_cols]]
+                mask = pa.array(keep)
+                arrays = [b.column("geom_id").filter(mask)] + \
+                    [b.column(c).filter(mask) for c in keep_cols]
+                names = ["geom_id", *keep_cols]
                 if with_distance:
-                    out = out.assign(distance=dist[keep])
-                yield out[out_cols]
+                    arrays.append(pa.array(dist[keep], type=pa.float64()))
+                    names.append("distance")
+                yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     return run
 
@@ -291,7 +309,7 @@ def batch_spatial_join(points: DataFrame, geoms_df: DataFrame, res: int,
         + ([T.StructField("distance", T.DoubleType(), False)]
            if with_distance else [])
     )
-    return joined.mapInPandas(
+    return joined.mapInArrow(
         _refine_fn(list(keep_cols), lon_col, lat_col, with_distance,
                    min_buffer_m),
         schema=out_schema)
