@@ -240,6 +240,11 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.2, n: int = 5,
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sig = minhash_signatures(docs, k, n, hash_fn, shingles_df=sh,
                              with_sizes=True)
+    if cache:
+        # one row per doc; consumed by BOTH the banding subtree and the
+        # Jaccard-denominator join — without this the signature aggregation
+        # re-scans the (much larger) shingle frame twice (round 7)
+        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     cand = _pairs_from_banded(
         _banded_from_sig(sig.drop("n_sh"), k, bands), max_bucket)
     if cache:
@@ -379,24 +384,36 @@ def dedup_increment(new_docs: DataFrame, resident: DataFrame,
           if resident_banded is None else resident_banded) \
         .withColumn("is_new", F.lit(False))
     allb = nb.unionByName(rb)
+    # Round 7 (same restructure as _pairs_from_banded): the former
+    # lhs x rhs self-join on (band, bhash) planned the banding subtrees —
+    # including the RESIDENT corpus banding, the big side at deployment
+    # scale — once per join side, plus a third time for the max_bucket
+    # census.  One groupBy + collect_list computes them exactly once; the
+    # bucket cap is a free size filter on the same aggregate (population
+    # counted over BOTH sides: a boilerplate bucket is degenerate no
+    # matter which frame its members came from); the asymmetric pairing
+    # predicate (resident always candidates, new-vs-new smaller-id wins —
+    # including the replay self-pair where the same doc_id sits on both
+    # sides) is evaluated inside a JVM higher-order expression over the
+    # per-bucket list, reproducing the join's multiset before the same
+    # distinct.
+    arr = F.collect_list(F.struct(F.col("doc_id"), F.col("is_new"))) \
+        .alias("ks")
+    buckets = allb.groupBy("band", "bhash").agg(arr)
     if max_bucket is not None:
-        # bucket population counted over BOTH sides: a boilerplate bucket
-        # is degenerate no matter which frame its members came from
-        ok = (
-            allb.groupBy("band", "bhash").agg(F.count("*").alias("_n"))
-            .filter(F.col("_n") <= max_bucket).select("band", "bhash")
-        )
-        allb = allb.join(ok, ["band", "bhash"])
-    lhs = allb.filter(F.col("is_new")).alias("l")
-    rhs = allb.alias("r")
+        buckets = buckets.filter(F.size("ks") <= max_bucket)
+    ks = F.col("ks")
+    expand = F.flatten(F.transform(
+        F.filter(ks, lambda x: x["is_new"]),
+        lambda x: F.transform(
+            F.filter(ks, lambda y: (~y["is_new"])
+                     | (y["doc_id"] < x["doc_id"])),
+            lambda y: F.struct(x["doc_id"].alias("loser"),
+                               y["doc_id"].alias("other"),
+                               y["is_new"].alias("other_new")))))
     cand = (
-        lhs.join(rhs, (F.col("l.band") == F.col("r.band"))
-                 & (F.col("l.bhash") == F.col("r.bhash"))
-                 & ((~F.col("r.is_new"))
-                    | (F.col("r.doc_id") < F.col("l.doc_id"))))
-        .select(F.col("l.doc_id").alias("loser"),
-                F.col("r.doc_id").alias("other"),
-                F.col("r.is_new").alias("other_new"))
+        buckets.select(F.explode(expand).alias("p"))
+        .select("p.loser", "p.other", "p.other_new")
         .distinct()
     )
 
