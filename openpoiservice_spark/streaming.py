@@ -591,11 +591,16 @@ def stream_heatmap_sink(points: DataFrame, out_dir: str, z: int = 14,
 
 def compact_heatmap_pixels(spark, out_dir: str,
                            timeout_s: float = 120.0) -> dict:
-    """Bound the heatmap pixel store: fold every per-batch partial
-    directory into ONE consolidated directory.  Run between drains (an
-    availableNow pipeline's natural gaps) — never concurrently with an
-    active stream writing the same store; the commit lock serializes
-    concurrent compactors and the protocol survives a crash at any step:
+    """Bound the heatmap pixel store: fold the per-batch partial
+    directories into ONE consolidated directory — every dir EXCEPT the
+    newest batch-keyed one, which may belong to a drain that crashed
+    after writing its partials but before its checkpoint commit; that
+    batch id REPLAYS on restart and its overwrite must supersede, not
+    add to, a folded copy (round-6 ADVICE — the store stays bounded at
+    <= 2 dirs).  Run between drains (an availableNow pipeline's natural
+    gaps) — never concurrently with an active stream writing the same
+    store; the commit lock serializes concurrent compactors and the
+    protocol survives a crash at any step:
 
       1. aggregate all visible partials and write them to `_compact_tmp`
          (underscore-prefixed: INVISIBLE to Spark's listing, so readers
@@ -620,13 +625,26 @@ def compact_heatmap_pixels(spark, out_dir: str,
     px_root = f"{out_dir}/pixels"
     with commit_lock(spark, px_root, timeout_s=timeout_s):
         fs, root, jvm_path = _recover_compact_tmp(spark, px_root)
-        inputs = _list_partial_dirs(fs, root)
-        before = len(inputs)
-        if before <= 1:
+        all_dirs = _list_partial_dirs(fs, root)
+        before = len(all_dirs)
+        # never fold the NEWEST batch-keyed partial: it is the only dir
+        # that can belong to an uncommitted in-flight batch (round-6
+        # ADVICE: a drain that crashes after writing pixels/b<id> but
+        # before its checkpoint commit REPLAYS that id on restart, and the
+        # replay's mode=overwrite rewrite of b<id> must SUPERSEDE — not
+        # add to — any folded copy).  Consolidated dirs (b<hex>c) are
+        # always committed and always foldable; the store therefore
+        # converges to <= 2 dirs instead of 1, which is still bounded.
+        numeric = [d for d in all_dirs
+                   if d.startswith("b") and d[1:].isdigit()]
+        inputs = [d for d in all_dirs
+                  if not numeric or d != max(numeric, key=lambda x: int(x[1:]))]
+        if len(inputs) <= 1:
             return {"dirs_before": before, "dirs_after": before,
                     "rows": None, "compacted": False}
         agg = (
-            spark.read.option("recursiveFileLookup", "true").parquet(px_root)
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(*[f"{px_root}/{d}" for d in inputs])
             .groupBy("z", "tx", "ty", "px", "py")
             .agg(F.sum("n_pt").alias("n_pt"))
         )
@@ -647,7 +665,8 @@ def compact_heatmap_pixels(spark, out_dir: str,
         for d in inputs:
             fs.delete(jvm_path(f"{px_root}/{d}")[1], True)
         _publish_compact_tmp(spark, px_root, fs)
-        return {"dirs_before": before, "dirs_after": 1, "rows": rows,
+        return {"dirs_before": before,
+                "dirs_after": before - len(inputs) + 1, "rows": rows,
                 "compacted": True}
 
 

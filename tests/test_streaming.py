@@ -715,9 +715,12 @@ def test_compact_heatmap_pixels_bounds_store_and_recovers(spark, tmp_path):
     assert len(dirs()) == 3
 
     stats = STR.compact_heatmap_pixels(spark, out)
+    # round 7: the NEWEST batch-keyed partial is never folded (it may be
+    # an uncommitted in-flight batch whose replay must supersede it), so
+    # the store converges to <= 2 dirs
     assert stats["compacted"] and stats["dirs_before"] == 3 \
-        and stats["dirs_after"] == 1
-    assert len(dirs()) == 1 and agg_state() == expect
+        and stats["dirs_after"] == 2
+    assert len(dirs()) == 2 and agg_state() == expect
 
     # crash window A: tmp exists but no manifest (died before/mid tmp
     # write) -> discarded, inputs untouched
@@ -728,14 +731,14 @@ def test_compact_heatmap_pixels_bounds_store_and_recovers(spark, tmp_path):
         f.write(b"not parquet")
     stats = STR.compact_heatmap_pixels(spark, out)
     assert stats["compacted"] and agg_state() == expect
-    assert len(dirs()) == 1
+    assert len(dirs()) == 2
 
     # crash window B: tmp + manifest written, SOME inputs already deleted
     # (died mid-step-2) -> recovery deletes the rest and publishes
     STR.heatmap_batch(df.filter(F.col("poi_id") % 4 == 0), 4, out, z=z)
     expect = agg_state()
     inputs = dirs()
-    assert len(inputs) == 2
+    assert len(inputs) == 3
     (spark.read.option("recursiveFileLookup", "true")
      .parquet(f"{out}/pixels")
      .groupBy("z", "tx", "ty", "px", "py").agg(F.sum("n_pt").alias("n_pt"))
@@ -804,8 +807,8 @@ def test_heatmap_pixel_store_bucket_pruning(spark, tmp_path):
     df = spark.createDataFrame(pts, "poi_id long, lon double, lat double")
     out = str(tmp_path / "hm")
     z = 10
-    for b in range(2):
-        STR.heatmap_batch(df.filter(F.col("poi_id") % 2 == b), b, out, z=z)
+    for b in range(3):
+        STR.heatmap_batch(df.filter(F.col("poi_id") % 3 == b), b, out, z=z)
 
     # layout: every parquet file of every partial dir sits under a tb= dir
     px_root = f"{out}/pixels"
@@ -839,14 +842,46 @@ def test_heatmap_pixel_store_bucket_pruning(spark, tmp_path):
            for r in TI.tile_heatmaps(df, z=z).collect()}
     assert got == ref
 
-    # compaction folds partials but keeps the tb= layout and the render
+    # compaction folds the older partials (the newest batch dir is never
+    # folded — round 7) but keeps the tb= layout everywhere
     res = STR.compact_heatmap_pixels(spark, out)
-    assert res["compacted"] and res["dirs_after"] == 1
-    cdir = [d for d in os.listdir(px_root)
-            if os.path.isdir(os.path.join(px_root, d))
-            and not d.startswith(("_", "."))]
-    assert len(cdir) == 1
-    subs = [d for d in os.listdir(os.path.join(px_root, cdir[0]))
-            if not d.startswith(("_", "."))]
-    assert subs and all(s.startswith("tb=") for s in subs)
-    STR.heatmap_batch(df.limit(50), 2, out, z=z)  # stream keeps working
+    assert res["compacted"] and res["dirs_after"] == 2
+    cdirs = [d for d in os.listdir(px_root)
+             if os.path.isdir(os.path.join(px_root, d))
+             and not d.startswith(("_", "."))]
+    assert len(cdirs) == 2
+    for cd in cdirs:
+        subs = [d for d in os.listdir(os.path.join(px_root, cd))
+                if not d.startswith(("_", "."))]
+        assert subs and all(s.startswith("tb=") for s in subs), (cd, subs)
+    STR.heatmap_batch(df.limit(50), 3, out, z=z)  # stream keeps working
+
+
+def test_compact_never_folds_uncommitted_newest_batch(spark, tmp_path):
+    """Round-6 ADVICE closure: a drain crashes AFTER writing pixels/b2 but
+    BEFORE its checkpoint commit; compact runs; the restarted stream
+    replays batch 2.  Because compaction never folds the newest
+    batch-keyed dir, the replay's overwrite supersedes it and the store
+    still converges — folding it would have double-counted batch 2."""
+    import numpy as np
+
+    from openpoiservice_spark import streaming as STR
+    from openpoiservice_spark import tiles as TI
+
+    rng = np.random.default_rng(17)
+    pts = [(int(i), float(lo), float(la)) for i, (lo, la) in enumerate(
+        zip(rng.uniform(8.0, 9.0, 180), rng.uniform(52.9, 53.2, 180)))]
+    df = spark.createDataFrame(pts, "poi_id long, lon double, lat double")
+    out = str(tmp_path / "hm")
+    z = 10
+    for b in range(3):   # b2 = the "crashed uncommitted" batch
+        STR.heatmap_batch(df.filter(F.col("poi_id") % 3 == b), b, out, z=z)
+    stats = STR.compact_heatmap_pixels(spark, out)
+    assert stats["compacted"]
+    # restart: foreachBatch re-delivers batch 2
+    STR.heatmap_batch(df.filter(F.col("poi_id") % 3 == 2), 2, out, z=z)
+    got = {(r.tx, r.ty): (r.n_points, bytes(r.png))
+           for r in spark.read.parquet(f"{out}/tiles").collect()}
+    ref = {(r.tx, r.ty): (r.n_points, bytes(r.png))
+           for r in TI.tile_heatmaps(df, z=z).collect()}
+    assert got == ref  # exactly-once: no double count of batch 2
