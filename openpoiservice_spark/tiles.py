@@ -385,6 +385,10 @@ def heatmap_raster(counts: np.ndarray, max_n: int) -> np.ndarray:
     log-scaled so a 1-count pixel is visible next to a 10^6-count one:
     255 * log1p(n) / log1p(max_n), rounded half-up.  Deterministic — the
     pytest golden recomputes it in numpy and decodes the PNG back."""
+    # clamp at 0: a negative weight sum (weight= is caller data) would make
+    # log1p NaN and the uint8 cast undefined — silently garbled pixels
+    # (round-6 ADVICE); non-negative inputs are untouched
+    counts = np.maximum(counts, 0)
     with np.errstate(divide="ignore", invalid="ignore"):
         lum = np.floor(
             255.0 * np.log1p(counts) / np.log1p(max(int(max_n), 1)) + 0.5
